@@ -1,0 +1,457 @@
+"""Sequential-impulse contact solver (b2ContactSolver + b2Island semantics).
+
+Single-env functions over tiny [B]/[P] arrays; the env batch is vmapped on
+top.  The constraint loop is Python-unrolled over the *static* pair list, so
+every body index is a compile-time constant and XLA sees straight-line vector
+code over the batch -- the TPU-native replacement for Box2D's pointer-chasing
+contact graph.
+
+Fidelity notes (all verified against the box2d-py oracle in tests):
+* velocity solve order: per contact, friction per point first, then normal
+  (2x2 block solver with Box2D's four-case LCP enumeration when the manifold
+  has 2 well-conditioned points, else per-point clamped accumulation);
+* warm starting with dtRatio=1 (fixed dt, reference uses constant 1/50 s:
+  multi_robot_puzzle_00.py:428);
+* Baumgarte position correction (0.2) with slop 0.005, max correction 0.2,
+  and the per-island early exit once minSeparation >= -3*slop -- reproduced
+  with per-island done masks so extra iterations are exact no-ops;
+* island masking: contacts whose dynamic endpoints are asleep are not
+  solved (Box2D only builds islands from awake bodies);
+* integrate-position clamps (maxTranslation 2.0, maxRotation pi/2) write the
+  clamped velocities back, as b2Island does.
+
+The solver iterates pairs in static pair-list order.  Box2D iterates each
+island's contacts in traversal order; with the handful of simultaneous
+contacts these envs produce the difference is below the parity tolerances
+(documented divergence, see tests/test_engine.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+from jax import lax
+
+from gym_puzzles_tpu.engine import math2d as m2
+from gym_puzzles_tpu.engine import narrowphase as nph
+from gym_puzzles_tpu.engine.shapes import LINEAR_SLOP
+from gym_puzzles_tpu.engine.types import ShapeTable
+
+BAUMGARTE = 0.2
+MAX_LINEAR_CORRECTION = 0.2
+MAX_TRANSLATION = 2.0
+MAX_ROTATION = 0.5 * jnp.pi
+VELOCITY_THRESHOLD = 1.0
+MAX_CONDITION_NUMBER = 1000.0
+
+# Sleep constants (b2Settings): sleeping is ACTIVE in box2d-py 2.3.5 -- the
+# binding's doSleep=False flag is ignored by the vendored C++ (verified
+# empirically: a slow body sleeps at exactly b2_timeToSleep), so the
+# reference envs run with sleeping on and the rebuild reproduces it.
+LINEAR_SLEEP_TOL_SQ = 0.01**2
+ANGULAR_SLEEP_TOL_SQ = (2.0 / 180.0 * 3.14159265358979) ** 2
+TIME_TO_SLEEP = 0.5
+
+
+@struct.dataclass
+class VelocityConstraints:
+    """Stacked per-pair constraint data ([P, ...])."""
+
+    normal: object  # [P, 2]
+    r_a: object  # [P, 2(points), 2]
+    r_b: object  # [P, 2, 2]
+    normal_mass: object  # [P, 2] per-point 1/k_ii
+    tangent_mass: object  # [P, 2]
+    bias: object  # [P, 2]
+    k11: object  # [P]
+    k12: object  # [P]
+    k22: object  # [P]
+    im11: object  # [P] block inverse
+    im12: object  # [P]
+    im22: object  # [P]
+    count: object  # [P] effective point count (post conditioning degrade)
+    solve: object  # [P] bool: pair is in an awake island
+    normal_impulse: object  # [P, 2] accumulated
+    tangent_impulse: object  # [P, 2]
+
+
+def compute_islands(table: ShapeTable, touching):
+    """Connected components over *dynamic* bodies linked by touching
+    contacts (static walls do not merge islands, mirroring b2World::Solve's
+    island traversal that never expands through static bodies).
+
+    Returns integer labels [B]: min body index in the component; static
+    bodies keep their own index.
+    """
+    B = table.num_bodies
+    dyn = ~table.is_static  # numpy [B]
+    # adjacency via static pair indices
+    adj = jnp.zeros((B, B), bool)
+    both_dyn = dyn[table.pair_body_a] & dyn[table.pair_body_b]  # numpy [P]
+    link = touching & jnp.asarray(both_dyn)
+    adj = adj.at[table.pair_body_a, table.pair_body_b].max(link)
+    adj = adj.at[table.pair_body_b, table.pair_body_a].max(link)
+
+    labels = jnp.arange(B)
+
+    def body(_, labels):
+        neigh = jnp.where(adj, labels[None, :], B)  # [B, B]
+        return jnp.minimum(labels, neigh.min(axis=1))
+
+    return lax.fori_loop(0, B, body, labels)
+
+
+def propagate_wake(table: ShapeTable, labels, awake, sleep_time):
+    """Island wake propagation: every dynamic body sharing an island with an
+    awake body is woken (b2World::Solve flags all island members awake).
+    Waking resets the sleep timer (b2Body::SetAwake(true))."""
+    B = table.num_bodies
+    island_awake = jnp.zeros((B,), bool).at[labels].max(awake)
+    new_awake = island_awake[labels] & jnp.asarray(~table.is_static)
+    woke = new_awake & ~awake
+    sleep_time = jnp.where(woke, 0.0, sleep_time)
+    return new_awake, sleep_time
+
+
+def init_velocity_constraints(
+    table: ShapeTable, man: nph.Manifold, pos, angle, vel, omega,
+    matched_n, matched_t, active,
+) -> VelocityConstraints:
+    """b2ContactSolver::InitializeVelocityConstraints over all pairs.
+
+    ``pos`` is the world COM [B,2]; manifold transforms need body origins.
+    ``active`` [B] marks awake dynamic bodies; pairs without an active
+    dynamic endpoint are excluded from the solve.
+    """
+    ia = table.pair_body_a  # numpy, static
+    ib = table.pair_body_b
+    q = m2.rot(angle)  # [B, 2]
+    origin = m2.body_origin(pos, q, table.local_center)
+
+    normal, points, _seps = jax.vmap(nph.world_manifold)(
+        man, origin[ia], q[ia], origin[ib], q[ib]
+    )  # [P,2], [P,2,2]
+
+    c_a = pos[ia]  # [P, 2] world centers
+    c_b = pos[ib]
+    r_a = points - c_a[:, None, :]
+    r_b = points - c_b[:, None, :]
+
+    m_a = table.inv_mass[ia][:, None]  # [P,1] numpy constants
+    m_b = table.inv_mass[ib][:, None]
+    i_a = table.inv_inertia[ia][:, None]
+    i_b = table.inv_inertia[ib][:, None]
+
+    rn_a = m2.cross_vv(r_a, normal[:, None, :])  # [P,2]
+    rn_b = m2.cross_vv(r_b, normal[:, None, :])
+    k_normal = m_a + m_b + i_a * rn_a**2 + i_b * rn_b**2
+    normal_mass = jnp.where(k_normal > 0.0, 1.0 / k_normal, 0.0)
+
+    tangent = jnp.stack([normal[:, 1], -normal[:, 0]], axis=-1)  # cross(n, 1)
+    rt_a = m2.cross_vv(r_a, tangent[:, None, :])
+    rt_b = m2.cross_vv(r_b, tangent[:, None, :])
+    k_tangent = m_a + m_b + i_a * rt_a**2 + i_b * rt_b**2
+    tangent_mass = jnp.where(k_tangent > 0.0, 1.0 / k_tangent, 0.0)
+
+    # Relative normal velocity for restitution bias.
+    dv = (
+        vel[ib][:, None, :]
+        + m2.cross_sv(omega[ib][:, None], r_b)
+        - vel[ia][:, None, :]
+        - m2.cross_sv(omega[ia][:, None], r_a)
+    )
+    v_rel = m2.dot(dv, normal[:, None, :])
+    restitution = table.pair_restitution[:, None]
+    bias = jnp.where(v_rel < -VELOCITY_THRESHOLD, -restitution * v_rel, 0.0)
+
+    # 2-point block matrix + conditioning degrade.
+    k11 = k_normal[:, 0]
+    k22 = k_normal[:, 1]
+    k12 = (
+        m_a[:, 0]
+        + m_b[:, 0]
+        + i_a[:, 0] * rn_a[:, 0] * rn_a[:, 1]
+        + i_b[:, 0] * rn_b[:, 0] * rn_b[:, 1]
+    )
+    det = k11 * k22 - k12 * k12
+    cond_ok = k11 * k11 < MAX_CONDITION_NUMBER * det
+    count = jnp.where((man.count == 2) & ~cond_ok, 1, man.count)
+
+    inv_det = jnp.where(det != 0.0, 1.0 / det, 0.0)
+    im11 = inv_det * k22
+    im12 = -inv_det * k12
+    im22 = inv_det * k11
+
+    solve = (man.count > 0) & (active[ia] | active[ib])
+
+    return VelocityConstraints(
+        normal=normal,
+        r_a=r_a,
+        r_b=r_b,
+        normal_mass=normal_mass,
+        tangent_mass=tangent_mass,
+        bias=bias,
+        k11=k11,
+        k12=k12,
+        k22=k22,
+        im11=im11,
+        im12=im12,
+        im22=im22,
+        count=count,
+        solve=solve,
+        normal_impulse=matched_n,
+        tangent_impulse=matched_t,
+    )
+
+
+def warm_start(table: ShapeTable, vc: VelocityConstraints, vel, omega):
+    """Apply accumulated impulses (b2ContactSolver::WarmStart), masked to the
+    effective point count and to solved pairs."""
+    P = table.num_pairs
+    for p in range(P):
+        ia = int(table.pair_body_a[p])
+        ib = int(table.pair_body_b[p])
+        m_a, m_b = table.inv_mass[ia], table.inv_mass[ib]
+        i_a, i_b = table.inv_inertia[ia], table.inv_inertia[ib]
+        n = vc.normal[p]
+        t = jnp.stack([n[1], -n[0]])
+        for j in range(2):
+            mask = vc.solve[p] & (j < vc.count[p])
+            imp = jnp.where(mask, vc.normal_impulse[p, j], 0.0)
+            timp = jnp.where(mask, vc.tangent_impulse[p, j], 0.0)
+            impulse = imp * n + timp * t
+            vel = vel.at[ia].add(-m_a * impulse)
+            omega = omega.at[ia].add(-i_a * m2.cross_vv(vc.r_a[p, j], impulse))
+            vel = vel.at[ib].add(m_b * impulse)
+            omega = omega.at[ib].add(i_b * m2.cross_vv(vc.r_b[p, j], impulse))
+    return vel, omega
+
+
+def _rel_vel(vel, omega, ia, ib, r_a, r_b):
+    return (
+        vel[ib]
+        + m2.cross_sv(omega[ib], r_b)
+        - vel[ia]
+        - m2.cross_sv(omega[ia], r_a)
+    )
+
+
+def solve_velocity_constraints(table: ShapeTable, vc: VelocityConstraints, vel, omega, iters: int):
+    """b2ContactSolver::SolveVelocityConstraints x iters, Gauss-Seidel over
+    the static pair list, batched over envs by the caller's vmap."""
+    P = table.num_pairs
+    friction = table.pair_friction  # numpy, static
+
+    def one_iteration(carry):
+        vel, omega, n_imp, t_imp = carry
+        for p in range(P):
+            ia = int(table.pair_body_a[p])
+            ib = int(table.pair_body_b[p])
+            m_a, m_b = table.inv_mass[ia], table.inv_mass[ib]
+            i_a, i_b = table.inv_inertia[ia], table.inv_inertia[ib]
+            n = vc.normal[p]
+            t = jnp.stack([n[1], -n[0]])
+            cnt = jnp.where(vc.solve[p], vc.count[p], 0)
+
+            # --- friction, per point, using current normal impulse bound
+            for j in range(2):
+                active = j < cnt
+                dv = _rel_vel(vel, omega, ia, ib, vc.r_a[p, j], vc.r_b[p, j])
+                vt = m2.dot(dv, t)
+                lam = vc.tangent_mass[p, j] * (-vt)
+                max_f = friction[p] * n_imp[p, j]
+                new_imp = jnp.clip(t_imp[p, j] + lam, -max_f, max_f)
+                lam = jnp.where(active, new_imp - t_imp[p, j], 0.0)
+                t_imp = t_imp.at[p, j].add(lam)
+                impulse = lam * t
+                vel = vel.at[ia].add(-m_a * impulse)
+                omega = omega.at[ia].add(-i_a * m2.cross_vv(vc.r_a[p, j], impulse))
+                vel = vel.at[ib].add(m_b * impulse)
+                omega = omega.at[ib].add(i_b * m2.cross_vv(vc.r_b[p, j], impulse))
+
+            # --- normal: single point
+            dv0 = _rel_vel(vel, omega, ia, ib, vc.r_a[p, 0], vc.r_b[p, 0])
+            vn0 = m2.dot(dv0, n)
+            lam0 = -vc.normal_mass[p, 0] * (vn0 - vc.bias[p, 0])
+            new0 = jnp.maximum(n_imp[p, 0] + lam0, 0.0)
+            d_single = new0 - n_imp[p, 0]
+
+            # --- normal: 2x2 block solver (Box2D case enumeration)
+            a1 = n_imp[p, 0]
+            a2 = n_imp[p, 1]
+            dv1 = _rel_vel(vel, omega, ia, ib, vc.r_a[p, 0], vc.r_b[p, 0])
+            dv2 = _rel_vel(vel, omega, ia, ib, vc.r_a[p, 1], vc.r_b[p, 1])
+            vn1 = m2.dot(dv1, n)
+            vn2 = m2.dot(dv2, n)
+            b1 = vn1 - vc.bias[p, 0] - (vc.k11[p] * a1 + vc.k12[p] * a2)
+            b2 = vn2 - vc.bias[p, 1] - (vc.k12[p] * a1 + vc.k22[p] * a2)
+
+            # case 1: both points active
+            x1_1 = -(vc.im11[p] * b1 + vc.im12[p] * b2)
+            x2_1 = -(vc.im12[p] * b1 + vc.im22[p] * b2)
+            ok1 = (x1_1 >= 0.0) & (x2_1 >= 0.0)
+            # case 2: point 1 active, point 2 zero
+            x1_2 = -vc.normal_mass[p, 0] * b1
+            vn2_2 = vc.k12[p] * x1_2 + b2
+            ok2 = (x1_2 >= 0.0) & (vn2_2 >= 0.0)
+            # case 3: point 2 active, point 1 zero
+            x2_3 = -vc.normal_mass[p, 1] * b2
+            vn1_3 = vc.k12[p] * x2_3 + b1
+            ok3 = (x2_3 >= 0.0) & (vn1_3 >= 0.0)
+            # case 4: both zero
+            ok4 = (b1 >= 0.0) & (b2 >= 0.0)
+
+            x1 = jnp.where(ok1, x1_1, jnp.where(ok2, x1_2, 0.0))
+            x2 = jnp.where(ok1, x2_1, jnp.where(ok3, x2_3, 0.0))
+            applied = ok1 | ok2 | ok3 | ok4
+            d1_blk = jnp.where(applied, x1 - a1, 0.0)
+            d2_blk = jnp.where(applied, x2 - a2, 0.0)
+
+            use_block = cnt == 2
+            one_active = cnt == 1
+            d1 = jnp.where(use_block, d1_blk, jnp.where(one_active, d_single, 0.0))
+            d2 = jnp.where(use_block, d2_blk, 0.0)
+
+            n_imp = n_imp.at[p, 0].add(d1)
+            n_imp = n_imp.at[p, 1].add(d2)
+            p1 = d1 * n
+            p2 = d2 * n
+            vel = vel.at[ia].add(-m_a * (p1 + p2))
+            omega = omega.at[ia].add(
+                -i_a * (m2.cross_vv(vc.r_a[p, 0], p1) + m2.cross_vv(vc.r_a[p, 1], p2))
+            )
+            vel = vel.at[ib].add(m_b * (p1 + p2))
+            omega = omega.at[ib].add(
+                i_b * (m2.cross_vv(vc.r_b[p, 0], p1) + m2.cross_vv(vc.r_b[p, 1], p2))
+            )
+        return vel, omega, n_imp, t_imp
+
+    vel, omega, n_imp, t_imp = lax.fori_loop(
+        0,
+        iters,
+        lambda _, c: one_iteration(c),
+        (vel, omega, vc.normal_impulse, vc.tangent_impulse),
+    )
+    return vel, omega, vc.replace(normal_impulse=n_imp, tangent_impulse=t_imp)
+
+
+def integrate_positions(pos, angle, vel, omega, dt, active):
+    """b2Island position integration with translation/rotation clamps; the
+    clamped velocities are written back.  Sleeping bodies don't move."""
+    translation = dt * vel
+    t2 = m2.dot(translation, translation)
+    scale = jnp.where(
+        t2 > MAX_TRANSLATION**2, MAX_TRANSLATION / jnp.sqrt(jnp.maximum(t2, 1e-30)), 1.0
+    )
+    vel = vel * scale[:, None]
+    rotation = dt * omega
+    rscale = jnp.where(
+        rotation**2 > MAX_ROTATION**2, MAX_ROTATION / jnp.abs(rotation), 1.0
+    )
+    omega = omega * rscale
+    act = active[:, None]
+    return (
+        jnp.where(act, pos + dt * vel, pos),
+        jnp.where(active, angle + dt * omega, angle),
+        vel,
+        omega,
+    )
+
+
+def solve_position_constraints(
+    table: ShapeTable, man: nph.Manifold, pos, angle, iters: int, solve_mask, labels
+):
+    """b2ContactSolver::SolvePositionConstraints x iters with b2Island's
+    early exit (minSeparation >= -3*slop) reproduced *per island* via done
+    masks indexed by island label.
+
+    Returns (pos, angle, island_position_solved [B] keyed by label)."""
+    P = table.num_pairs
+    B = table.num_bodies
+    local_center = table.local_center  # numpy, static
+    # island id of a pair: label of its dynamic endpoint (body_a if dynamic)
+    pick_a = ~table.is_static[table.pair_body_a]  # numpy [P]
+    pair_body = jnp.where(jnp.asarray(pick_a), jnp.asarray(table.pair_body_a),
+                          jnp.asarray(table.pair_body_b))
+    pair_island = labels[pair_body]  # [P] traced
+
+    def one_iteration(carry):
+        pos, angle, done = carry  # done: [B] bool per island label
+        min_sep = jnp.zeros((B,))  # per-island min separation this iteration
+        for p in range(P):
+            ia = int(table.pair_body_a[p])
+            ib = int(table.pair_body_b[p])
+            m_a, m_b = table.inv_mass[ia], table.inv_mass[ib]
+            i_a, i_b = table.inv_inertia[ia], table.inv_inertia[ib]
+            man_p = jax_tree_index(man, p)
+            isl = pair_island[p]
+            pair_done = done[isl] | ~solve_mask[p]
+            for j in range(2):
+                active = (j < man_p.count) & ~pair_done
+                q_a = m2.rot(angle[ia])
+                q_b = m2.rot(angle[ib])
+                org_a = pos[ia] - m2.rot_vec(q_a, local_center[ia])
+                org_b = pos[ib] - m2.rot_vec(q_b, local_center[ib])
+                normal, point, separation = nph.position_solver_manifold(
+                    man_p, org_a, q_a, org_b, q_b, j
+                )
+                track = (j < man_p.count) & solve_mask[p]
+                min_sep = min_sep.at[isl].min(jnp.where(track, separation, 0.0))
+                r_a = point - pos[ia]
+                r_b = point - pos[ib]
+                c = jnp.clip(
+                    BAUMGARTE * (separation + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0
+                )
+                rn_a = m2.cross_vv(r_a, normal)
+                rn_b = m2.cross_vv(r_b, normal)
+                k = m_a + m_b + i_a * rn_a**2 + i_b * rn_b**2
+                impulse = jnp.where((k > 0.0) & active, -c / k, 0.0)
+                pimp = impulse * normal
+                pos = pos.at[ia].add(-m_a * pimp)
+                angle = angle.at[ia].add(-i_a * m2.cross_vv(r_a, pimp))
+                pos = pos.at[ib].add(m_b * pimp)
+                angle = angle.at[ib].add(i_b * m2.cross_vv(r_b, pimp))
+        done = done | (min_sep >= -3.0 * LINEAR_SLOP)
+        return pos, angle, done
+
+    pos, angle, done = lax.fori_loop(
+        0,
+        iters,
+        lambda _, c: one_iteration(c),
+        (pos, angle, jnp.zeros((B,), bool)),
+    )
+    return pos, angle, done
+
+
+def update_sleep(table: ShapeTable, labels, awake, sleep_time, vel, omega, dt,
+                 position_solved):
+    """End-of-step sleep bookkeeping (b2Island::Solve tail).
+
+    Awake dynamic bodies moving below the sleep tolerances accumulate sleep
+    time; when every body in an island has slept >= TIME_TO_SLEEP and the
+    island's position solve converged, the whole island is put to sleep with
+    velocities zeroed."""
+    B = table.num_bodies
+    dyn = jnp.asarray(~table.is_static)
+    active = awake & dyn
+
+    fast = (m2.dot(vel, vel) > LINEAR_SLEEP_TOL_SQ) | (omega**2 > ANGULAR_SLEEP_TOL_SQ)
+    sleep_time = jnp.where(active, jnp.where(fast, 0.0, sleep_time + dt), sleep_time)
+
+    # per-island min sleep time over active dynamic bodies
+    island_min = jnp.full((B,), jnp.inf).at[labels].min(
+        jnp.where(active, sleep_time, jnp.inf)
+    )
+    goes_to_sleep = (island_min[labels] >= TIME_TO_SLEEP) & position_solved[labels] & active
+
+    awake = awake & ~goes_to_sleep
+    vel = jnp.where(goes_to_sleep[:, None], 0.0, vel)
+    omega = jnp.where(goes_to_sleep, 0.0, omega)
+    sleep_time = jnp.where(goes_to_sleep, 0.0, sleep_time)
+    return awake, sleep_time, vel, omega
+
+
+def jax_tree_index(tree, i):
+    """Index every leaf of a pytree along axis 0 (static index)."""
+    return jax.tree_util.tree_map(lambda x: x[i], tree)

@@ -1,0 +1,110 @@
+"""Functional env base: reset/step skeleton shared by all variants.
+
+The reference's ``reset`` takes one *random* action and returns that step's
+observation (00.py:411, 02.py:442, core.py:287 -- SURVEY quirk #1); the
+skeleton reproduces that, with the action drawn from the env's own PRNG key
+instead of the global numpy stream.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from gym_puzzles_tpu.engine import world as eng
+from gym_puzzles_tpu.envs import common as cm
+from gym_puzzles_tpu.envs import layout as lay
+from gym_puzzles_tpu.envs.config import EnvConfig, RewardParams
+
+F = jnp.float32
+
+
+class PuzzleEnvLogic:
+    """Single-env pure logic; the api layer vmaps/jits it.
+
+    Subclasses implement ``_spawn``, ``_distances``, ``_control``,
+    ``_score``; everything else (engine plumbing, contact flags, the
+    reset-random-step quirk) lives here.
+    """
+
+    def __init__(self, cfg: EnvConfig):
+        self.cfg = cfg
+        self.layout, self.wall_positions = lay.build(cfg)
+
+    # -- subclass interface ------------------------------------------------
+    def _spawn(self, key):
+        """-> (Bodies, goal_pos [3])"""
+        raise NotImplementedError
+
+    def _distances(self, bodies, goal_pos):
+        """-> (agent_dist [A], block_distance [], block_angle [])"""
+        raise NotImplementedError
+
+    def _control(self, state, action):
+        """-> (Bodies with velocity-type controls applied, force [B,2],
+        torque [B])"""
+        raise NotImplementedError
+
+    def _score(self, state, bodies, goal_contact, agent_dist, block_distance,
+               block_angle, params):
+        """-> (obs, reward, done, done_status, blks_in_place)"""
+        raise NotImplementedError
+
+    # -- public API --------------------------------------------------------
+    def default_params(self) -> RewardParams:
+        return RewardParams.default(self.cfg.variant)
+
+    def reset(self, key, params: RewardParams):
+        """Spawn a fresh episode, then take one uniform random action and
+        return its observation (the reference's reset contract)."""
+        k_spawn, k_act = jax.random.split(key)
+        bodies, goal_pos = self._spawn(k_spawn)
+        contacts = eng.init_contacts(self.layout.table)
+        agent_dist, block_distance, block_angle = self._distances(bodies, goal_pos)
+        A = self.cfg.num_agents
+        state = cm.EnvState(
+            bodies=bodies,
+            contacts=contacts,
+            goal_contact=jnp.zeros((A,), bool),
+            wall_contact=jnp.asarray(False),
+            agent_dist=agent_dist,
+            block_distance=block_distance,
+            block_angle=block_angle,
+            blks_in_place=jnp.asarray(0, jnp.int32),
+            goal_pos=goal_pos,
+            t=jnp.asarray(0, jnp.int32),
+            done_status=jnp.asarray(0, jnp.int32),
+        )
+        action = cm.uniform(k_act, -1.0, 1.0, (self.cfg.act_dim,))
+        state, obs, _r, _d, _info = self.step(state, action, params)
+        # The random step does not count against the episode clock.
+        return state.replace(t=jnp.asarray(0, jnp.int32)), obs
+
+    def step(self, state: cm.EnvState, action, params: RewardParams):
+        action = jnp.asarray(action, F)
+        bodies, force, torque = self._control(state, action)
+        bodies, contacts, goal_contact, wall_contact = cm.physics(
+            self.layout, self.cfg, bodies, state.contacts, force, torque,
+            state.goal_contact, state.wall_contact,
+        )
+        agent_dist, block_distance, block_angle = self._distances(bodies, state.goal_pos)
+        obs, reward, done, done_status, blks = self._score(
+            state, bodies, goal_contact, agent_dist, block_distance, block_angle, params
+        )
+        t = state.t + 1
+        truncated = t >= self.cfg.max_episode_steps  # gym TimeLimit wrapper
+        new_state = cm.EnvState(
+            bodies=bodies,
+            contacts=contacts,
+            goal_contact=goal_contact,
+            wall_contact=wall_contact,
+            agent_dist=agent_dist,
+            block_distance=block_distance,
+            block_angle=block_angle,
+            blks_in_place=blks,
+            goal_pos=state.goal_pos,
+            t=t,
+            done_status=done_status,
+        )
+        info = {"done_status": done_status, "truncated": truncated, "t": t}
+        return new_state, obs, reward, done | truncated, info

@@ -1,0 +1,197 @@
+"""Per-variant static configuration.
+
+Every magic constant of the reference envs, lifted into frozen dataclasses
+(reference: multi_robot_puzzle_00.py:38-88, multi_robot_puzzle_02.py:39-82,
+core.py:16-37, robot.py:7-14, blocks.py:11-15).  These are compile-time
+constants: a variant's config is hashable and baked into its jitted program.
+
+Mutable-through-methods state of the reference (``set_reward_params``,
+``update_params``, ``update_goal``, 00.py:231-246) becomes the *dynamic*
+:class:`RewardParams` pytree, passed into the jitted step so trainers can
+anneal it without recompiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+from flax import struct
+
+# Shared physics rate (00.py:39, 02.py:39, core.py:16)
+FPS = 50
+DT = 1.0 / FPS
+VELOCITY_ITERS = 6 * 30  # world.Step(dt, 6*30, 2*30) everywhere
+POSITION_ITERS = 2 * 30
+
+# v0 constants (00.py:38-67)
+V0_SCALE = 30.0
+V0_VIEWPORT_W, V0_VIEWPORT_H = 640, 480
+V0_BORDER = 1.0
+V0_FR = 0.999
+V0_DAMP = 5.0
+V0_DENSE = 5.0
+V0_SPEED = 10.0 / V0_SCALE * 4.0  # 4/3 m/s
+V0_EPSILON = 25.0
+V0_BLOCK_REWARD = 10.0
+V0_FINAL_REWARD = 10000.0
+V0_AGENT_POLY = np.array(
+    [
+        (-0.25, -0.75), (0.25, -0.75), (0.75, -0.25), (0.75, 0.25),
+        (0.25, 0.75), (-0.25, 0.75), (-0.75, 0.25), (-0.75, -0.25),
+    ]
+)  # AGENT_POLY with S=2 (00.py:62-67)
+
+# v2 constants (02.py:39-67)
+V2_SCALE = 140.0 * 4
+V2_VIEWPORT_W, V2_VIEWPORT_H = 1440, 810
+V2_BORDER = 0.3
+V2_BOUNDS = 0.1
+V2_FR = 0.01
+V2_LINEAR_DAMP = 5.0
+V2_ANG_DAMP = 5.0
+V2_BLK_DENSE = 1.56
+V2_HEAVY_BLK_DENSE = 20.0  # (02.py:162-165)
+V2_AGT_DENSE = 17.3
+V2_FORCE = 0.75
+V2_EPSILON = 0.1
+V2_RATIO = V2_SCALE / V2_VIEWPORT_W
+V2_AGENT_POLY = np.array(
+    [
+        (-0.039, -0.095), (0.039, -0.095), (0.095, -0.039), (0.095, 0.039),
+        (0.039, 0.095), (-0.039, 0.095), (-0.095, 0.039), (-0.095, -0.039),
+    ]
+)
+
+# v3 constants (core.py:16-37, robot.py, blocks.py)
+V3_SCALE = 30.0
+V3_SCREEN_W, V3_SCREEN_H = 640, 480
+V3_BORDER = 1.0
+V3_EPSILON = 25.0
+V3_BLOCK_FR = 2.5  # blocks.py:12
+V3_BLOCK_DAMP = 5.0
+V3_AGENT_SCALE = 8.0  # core.py:241
+V3_AGENT_DENSITY = 5.0
+V3_AGENT_MAX_SPEED = 5.0  # core.py:240
+V3_AGENT_FR = 0.2  # robot.py:37-40 sets no friction -> Box2D default
+V3_DENSE = 5.0
+
+DEFAULT_FRICTION = 0.2  # Box2D default where the reference sets none
+
+
+@dataclasses.dataclass(frozen=True)
+class EnvConfig:
+    """Static env variant description (hashable; jit static arg)."""
+
+    env_id: str
+    variant: str  # 'v0' | 'v2' | 'v3'
+    num_agents: int
+    heavy: bool
+    obs_dim: int
+    act_dim: int
+    max_episode_steps: int
+    reward_threshold: float
+    frameskip: int = 1
+    dt: float = DT
+    velocity_iters: int = VELOCITY_ITERS
+    position_iters: int = POSITION_ITERS
+
+
+@struct.dataclass
+class RewardParams:
+    """Dynamic reward/curriculum parameters.
+
+    Defaults mirror ``set_reward_params`` (00.py:231-239, 02.py:216-225,
+    core.py:149-155).  ``shaped_*`` are what ``update_params(timestep,
+    decay)`` computes (02.py:227-230); the reference *crashes* if v2 reaches
+    a done branch before update_params is called (SURVEY quirk #7) -- here
+    they default to the undecayed base values instead (flag-gated fix).
+    ``scaled_epsilon`` is ``update_goal``'s curriculum output (02.py:232-233).
+    """
+
+    weight_delta_agent: object
+    weight_agent_dist: object
+    weight_delta_block: object
+    weight_blk_dist: object
+    puzzle_complete_reward: object
+    out_of_bounds_penalty: object
+    blk_out_of_bounds_penalty: object
+    shaped_bounds_penalty: object
+    shaped_blk_bounds_penalty: object
+    shaped_puzzle_reward: object
+    scaled_epsilon: object
+
+    @staticmethod
+    def default(variant: str) -> "RewardParams":
+        import jax.numpy as jnp
+
+        f = lambda x: jnp.asarray(x, jnp.float32)
+        if variant == "v0":
+            w = dict(agent_delta=10.0, agent_dist=0.1, block_delta=50.0, block_dist=0.025,
+                     comp=10000.0, oob=1000.0, blk_oob=100.0, eps=V0_EPSILON)
+        elif variant == "v2":
+            w = dict(agent_delta=10.0, agent_dist=0.25, block_delta=25.0, block_dist=0.1,
+                     comp=10000.0, oob=1000.0, blk_oob=100.0, eps=V2_EPSILON)
+        elif variant == "v3":
+            w = dict(agent_delta=10.0, agent_dist=0.1, block_delta=50.0, block_dist=0.025,
+                     comp=100.0, oob=1000.0, blk_oob=100.0, eps=V3_EPSILON)
+        else:
+            raise ValueError(variant)
+        return RewardParams(
+            weight_delta_agent=f(w["agent_delta"]),
+            weight_agent_dist=f(w["agent_dist"]),
+            weight_delta_block=f(w["block_delta"]),
+            weight_blk_dist=f(w["block_dist"]),
+            puzzle_complete_reward=f(w["comp"]),
+            out_of_bounds_penalty=f(w["oob"]),
+            blk_out_of_bounds_penalty=f(w["blk_oob"]),
+            shaped_bounds_penalty=f(w["oob"]),
+            shaped_blk_bounds_penalty=f(w["blk_oob"]),
+            shaped_puzzle_reward=f(w["comp"]),
+            scaled_epsilon=f(w["eps"]),
+        )
+
+    def update_params(self, timestep, decay):
+        """Reference ``update_params`` (00.py:241-243, 02.py:227-230): shaped
+        penalties/rewards scaled by decay**(-timestep)."""
+        import jax.numpy as jnp
+
+        k = jnp.asarray(decay, jnp.float32) ** (-jnp.asarray(timestep, jnp.float32))
+        return self.replace(
+            shaped_bounds_penalty=self.out_of_bounds_penalty * k,
+            shaped_blk_bounds_penalty=self.blk_out_of_bounds_penalty * k,
+            shaped_puzzle_reward=self.puzzle_complete_reward * k,
+        )
+
+    def update_goal(self, epoch, nb_epochs, base_epsilon):
+        """Reference ``update_goal`` (00.py:245-246): epsilon curriculum."""
+        import jax.numpy as jnp
+
+        e = jnp.asarray(epoch, jnp.float32) / jnp.asarray(nb_epochs, jnp.float32)
+        return self.replace(scaled_epsilon=jnp.asarray(base_epsilon, jnp.float32) * (2.0 - e))
+
+
+# Registered variants (gym_puzzles/__init__.py:3-36; dims are the empirical
+# anchors from SURVEY.md §8.14).
+VARIANTS = {
+    "MultiRobotPuzzle-v0": EnvConfig(
+        env_id="MultiRobotPuzzle-v0", variant="v0", num_agents=2, heavy=False,
+        obs_dim=28, act_dim=6, max_episode_steps=2000, reward_threshold=500.0,
+    ),
+    "MultiRobotPuzzleHeavy-v0": EnvConfig(
+        env_id="MultiRobotPuzzleHeavy-v0", variant="v0", num_agents=5, heavy=True,
+        obs_dim=40, act_dim=15, max_episode_steps=3000, reward_threshold=500.0,
+    ),
+    "MultiRobotPuzzle-v2": EnvConfig(
+        env_id="MultiRobotPuzzle-v2", variant="v2", num_agents=2, heavy=False,
+        obs_dim=39, act_dim=4, max_episode_steps=2000, reward_threshold=500.0,
+    ),
+    "MultiRobotPuzzleHeavy-v2": EnvConfig(
+        env_id="MultiRobotPuzzleHeavy-v2", variant="v2", num_agents=2, heavy=True,
+        obs_dim=39, act_dim=4, max_episode_steps=2000, reward_threshold=500.0,
+    ),
+    "MultiRobotPuzzle-v3": EnvConfig(
+        env_id="MultiRobotPuzzle-v3", variant="v3", num_agents=2, heavy=False,
+        obs_dim=27, act_dim=6, max_episode_steps=1500, reward_threshold=110.0,
+    ),
+}
