@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Headline benchmark: env-steps/s/chip on MultiRobotPuzzle-v0 with 4096
+vectorized envs at the reference physics configuration (dt=0.02, 180
+velocity / 60 position iterations -- multi_robot_puzzle_00.py:428).
+
+Prints ONE JSON line:
+    {"metric": "env_steps_per_s_per_chip", "value": N, "unit": "steps/s",
+     "vs_baseline": N / 1e6}
+
+Baseline: the driver-defined north star of 1M env-steps/s/chip
+(BASELINE.md; the reference itself publishes no numbers -- its DummyVecEnv
+steps 6 Box2D worlds sequentially in Python).
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def main(num_envs: int = 4096, chunk: int = 20, iters: int = 5):
+    from gym_puzzles_tpu.api.registry import make
+
+    env = make("MultiRobotPuzzle-v0", num_envs=num_envs)
+    params = env.default_params()
+
+    key = jax.random.key(0)
+    vstate, obs = env.reset(key, params)
+
+    actions = jax.random.uniform(
+        jax.random.key(1), (chunk, num_envs, env.cfg.act_dim), minval=-1.0, maxval=1.0
+    )
+
+    @jax.jit
+    def rollout_chunk(vstate, actions):
+        def f(vs, a):
+            vs, _obs, r, d, _ = env._step_fn(vs, a, params)
+            return vs, (r.sum(), d.sum())
+
+        vs, (rs, ds) = lax.scan(f, vstate, actions)
+        return vs, rs.sum(), ds.sum()
+
+    t0 = time.time()
+    vstate, _, _ = jax.block_until_ready(rollout_chunk(vstate, actions))
+    compile_s = time.time() - t0
+    print(f"# compile+first chunk: {compile_s:.1f}s", file=sys.stderr)
+
+    best = 0.0
+    for _ in range(iters):
+        t0 = time.time()
+        vstate, rsum, dsum = jax.block_until_ready(rollout_chunk(vstate, actions))
+        dt = time.time() - t0
+        rate = chunk * num_envs / dt
+        best = max(best, rate)
+        print(f"# chunk {chunk}x{num_envs} in {dt*1e3:.1f}ms -> {rate:,.0f} steps/s",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "env_steps_per_s_per_chip",
+        "value": round(best, 1),
+        "unit": "steps/s",
+        "vs_baseline": round(best / 1e6, 4),
+    }))
+
+
+if __name__ == "__main__":
+    num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    main(num_envs=num_envs)

@@ -1,0 +1,132 @@
+"""Hardware-vectorized env: jit + vmap over a batch of env states.
+
+This is the TPU replacement for the reference's ``DummyVecEnv`` (a sequential
+Python loop over 6 envs, train/train.py:80): thousands of envs advance in
+lockstep inside one XLA program, with per-env PRNG keys replacing the global
+``np.random`` stream (SURVEY quirk #2).
+
+Reset semantics are selectable:
+
+* ``reset_mode='reference'`` -- reset takes one uniform random action and
+  returns that step's observation, byte-for-byte the reference contract
+  (00.py:411).  Costs one physics step per reset.
+* ``reset_mode='fast'`` (default) -- reset returns the spawned state's
+  observation directly.  Same distribution over states up to one random
+  step; used for training/benchmarking where autoreset would otherwise pay
+  a second physics step on every env every step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from gym_puzzles_tpu.envs.base import PuzzleEnvLogic
+from gym_puzzles_tpu.envs.config import RewardParams
+
+
+@struct.dataclass
+class VectorState:
+    """Batched env state + per-env autoreset keys."""
+
+    env: object  # EnvState with [E, ...] leaves
+    key: object  # [E] PRNG keys
+
+
+def _tree_select(done, a, b):
+    def sel(x, y):
+        m = done.reshape(done.shape + (1,) * (x.ndim - 1))
+        return jnp.where(m, x, y)
+
+    return jax.tree_util.tree_map(sel, a, b)
+
+
+class VectorEnv:
+    """Batched, jitted env.  All methods are pure: state in, state out."""
+
+    def __init__(self, logic: PuzzleEnvLogic, num_envs: int, auto_reset: bool = True,
+                 reset_mode: str = "fast"):
+        assert reset_mode in ("fast", "reference")
+        self.logic = logic
+        self.cfg = logic.cfg
+        self.num_envs = num_envs
+        self.auto_reset = auto_reset
+        self.reset_mode = reset_mode
+
+        reset_one = logic.reset if reset_mode == "reference" else logic.reset_fast
+        self._reset_one = reset_one
+
+        @jax.jit
+        def _reset(keys, params):
+            env_keys, reset_keys = jax.vmap(jax.random.split, out_axes=1)(keys)
+            state, obs = jax.vmap(reset_one, in_axes=(0, None))(reset_keys, params)
+            return VectorState(env=state, key=env_keys), obs
+
+        @jax.jit
+        def _step(vstate, action, params):
+            state, obs, reward, done, info = jax.vmap(
+                logic.step, in_axes=(0, 0, None)
+            )(vstate.env, action, params)
+            key = vstate.key
+            if auto_reset:
+                next_keys, reset_keys = jax.vmap(jax.random.split, out_axes=1)(key)
+                r_state, r_obs = jax.vmap(reset_one, in_axes=(0, None))(reset_keys, params)
+                state = _tree_select(done, r_state, state)
+                obs = jnp.where(done[:, None], r_obs, obs)
+                # typed PRNG keys: 1-D mask, or broadcasting silently makes
+                # an [E, E] key array and poisons the next trace
+                key = jnp.where(done, next_keys, key)
+            return VectorState(env=state, key=key), obs, reward, done, info
+
+        self._reset_fn = _reset
+        self._step_fn = _step
+
+    # -- public -------------------------------------------------------------
+    def default_params(self) -> RewardParams:
+        return self.logic.default_params()
+
+    def reset(self, key, params: RewardParams | None = None):
+        """key: single PRNG key (split per env) or [E] batch of keys."""
+        params = self.default_params() if params is None else params
+        if getattr(key, "ndim", 0) == 0:  # single typed key -> one per env
+            keys = jax.random.split(key, self.num_envs)
+        else:
+            keys = key
+        return self._reset_fn(keys, params)
+
+    def step(self, vstate: VectorState, action, params: RewardParams | None = None):
+        """action: [E, act_dim].  Returns (vstate, obs [E, obs_dim],
+        reward [E], done [E], info dict of [E] arrays)."""
+        params = self.default_params() if params is None else params
+        return self._step_fn(vstate, action, params)
+
+    @functools.cached_property
+    def single_observation_space(self):
+        return _box_space(self.cfg.obs_dim)
+
+    @functools.cached_property
+    def single_action_space(self):
+        return _box_space(self.cfg.act_dim, low=-1.0, high=1.0)
+
+
+def _box_space(dim, low=float("-inf"), high=float("inf")):
+    """A gymnasium Box when available, else a minimal stand-in."""
+    try:
+        import numpy as np
+        from gymnasium import spaces
+
+        return spaces.Box(low=low, high=high, shape=(dim,), dtype=np.float32)
+    except Exception:
+        import dataclasses
+
+        @dataclasses.dataclass
+        class Box:
+            low: float
+            high: float
+            shape: tuple
+            dtype: str = "float32"
+
+        return Box(low, high, (dim,))

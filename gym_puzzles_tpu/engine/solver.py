@@ -207,24 +207,43 @@ def init_velocity_constraints(
 
 def warm_start(table: ShapeTable, vc: VelocityConstraints, vel, omega):
     """Apply accumulated impulses (b2ContactSolver::WarmStart), masked to the
-    effective point count and to solved pairs."""
-    P = table.num_pairs
-    for p in range(P):
-        ia = int(table.pair_body_a[p])
-        ib = int(table.pair_body_b[p])
-        m_a, m_b = table.inv_mass[ia], table.inv_mass[ib]
-        i_a, i_b = table.inv_inertia[ia], table.inv_inertia[ib]
-        n = vc.normal[p]
+    effective point count and to solved pairs.
+
+    Implementation note (here and in the iteration loops below): the pair
+    loop is a `lax.scan` over stacked per-pair data with *dynamic* body
+    index scatter, not a Python unroll -- the unrolled form multiplies the
+    HLO by the pair count and pushes compile time to minutes.  The
+    dependency chain is identical."""
+    if table.num_pairs == 0:
+        return vel, omega
+    ia_all = table.pair_body_a
+    ib_all = table.pair_body_b
+    inv_mass = table.inv_mass  # numpy constants; dynamic gather below
+    inv_inertia = table.inv_inertia
+
+    def body(carry, inputs):
+        vel, omega = carry
+        p_ia, p_ib, n, r_a, r_b, n_imp, t_imp, count, solve = inputs
+        m_a, m_b = _g(inv_mass, p_ia), _g(inv_mass, p_ib)
+        i_a, i_b = _g(inv_inertia, p_ia), _g(inv_inertia, p_ib)
         t = jnp.stack([n[1], -n[0]])
         for j in range(2):
-            mask = vc.solve[p] & (j < vc.count[p])
-            imp = jnp.where(mask, vc.normal_impulse[p, j], 0.0)
-            timp = jnp.where(mask, vc.tangent_impulse[p, j], 0.0)
+            mask = solve & (j < count)
+            imp = jnp.where(mask, n_imp[j], 0.0)
+            timp = jnp.where(mask, t_imp[j], 0.0)
             impulse = imp * n + timp * t
-            vel = vel.at[ia].add(-m_a * impulse)
-            omega = omega.at[ia].add(-i_a * m2.cross_vv(vc.r_a[p, j], impulse))
-            vel = vel.at[ib].add(m_b * impulse)
-            omega = omega.at[ib].add(i_b * m2.cross_vv(vc.r_b[p, j], impulse))
+            vel = vel.at[p_ia].add(-m_a * impulse)
+            omega = omega.at[p_ia].add(-i_a * m2.cross_vv(r_a[j], impulse))
+            vel = vel.at[p_ib].add(m_b * impulse)
+            omega = omega.at[p_ib].add(i_b * m2.cross_vv(r_b[j], impulse))
+        return (vel, omega), None
+
+    (vel, omega), _ = lax.scan(
+        body,
+        (vel, omega),
+        (jnp.asarray(ia_all), jnp.asarray(ib_all), vc.normal, vc.r_a, vc.r_b,
+         vc.normal_impulse, vc.tangent_impulse, vc.count, vc.solve),
+    )
     return vel, omega
 
 
@@ -239,101 +258,115 @@ def _rel_vel(vel, omega, ia, ib, r_a, r_b):
 
 def solve_velocity_constraints(table: ShapeTable, vc: VelocityConstraints, vel, omega, iters: int):
     """b2ContactSolver::SolveVelocityConstraints x iters, Gauss-Seidel over
-    the static pair list, batched over envs by the caller's vmap."""
+    the static pair list (lax.scan -- see warm_start note), batched over
+    envs by the caller's vmap."""
     P = table.num_pairs
-    friction = table.pair_friction  # numpy, static
+    if P == 0:
+        return vel, omega, vc
 
-    def one_iteration(carry):
-        vel, omega, n_imp, t_imp = carry
-        for p in range(P):
-            ia = int(table.pair_body_a[p])
-            ib = int(table.pair_body_b[p])
-            m_a, m_b = table.inv_mass[ia], table.inv_mass[ib]
-            i_a, i_b = table.inv_inertia[ia], table.inv_inertia[ib]
-            n = vc.normal[p]
-            t = jnp.stack([n[1], -n[0]])
-            cnt = jnp.where(vc.solve[p], vc.count[p], 0)
+    ia_all = jnp.asarray(table.pair_body_a)
+    ib_all = jnp.asarray(table.pair_body_b)
+    friction_all = jnp.asarray(table.pair_friction)
+    p_all = jnp.arange(P)
 
-            # --- friction, per point, using current normal impulse bound
-            for j in range(2):
-                active = j < cnt
-                dv = _rel_vel(vel, omega, ia, ib, vc.r_a[p, j], vc.r_b[p, j])
-                vt = m2.dot(dv, t)
-                lam = vc.tangent_mass[p, j] * (-vt)
-                max_f = friction[p] * n_imp[p, j]
-                new_imp = jnp.clip(t_imp[p, j] + lam, -max_f, max_f)
-                lam = jnp.where(active, new_imp - t_imp[p, j], 0.0)
-                t_imp = t_imp.at[p, j].add(lam)
-                impulse = lam * t
-                vel = vel.at[ia].add(-m_a * impulse)
-                omega = omega.at[ia].add(-i_a * m2.cross_vv(vc.r_a[p, j], impulse))
-                vel = vel.at[ib].add(m_b * impulse)
-                omega = omega.at[ib].add(i_b * m2.cross_vv(vc.r_b[p, j], impulse))
+    def pair_step(carry, inputs):
+        vel, omega, n_imp_all, t_imp_all = carry
+        (p, ia, ib, friction, n, r_a, r_b, normal_mass, tangent_mass, bias,
+         k11, k12, k22, im11, im12, im22, count, solve) = inputs
+        m_a, m_b = _g(table.inv_mass, ia), _g(table.inv_mass, ib)
+        i_a, i_b = _g(table.inv_inertia, ia), _g(table.inv_inertia, ib)
+        t = jnp.stack([n[1], -n[0]])
+        cnt = jnp.where(solve, count, 0)
+        n_imp = n_imp_all[p]
+        t_imp = t_imp_all[p]
 
-            # --- normal: single point
-            dv0 = _rel_vel(vel, omega, ia, ib, vc.r_a[p, 0], vc.r_b[p, 0])
-            vn0 = m2.dot(dv0, n)
-            lam0 = -vc.normal_mass[p, 0] * (vn0 - vc.bias[p, 0])
-            new0 = jnp.maximum(n_imp[p, 0] + lam0, 0.0)
-            d_single = new0 - n_imp[p, 0]
+        # --- friction, per point, using current normal impulse bound
+        for j in range(2):
+            active = j < cnt
+            dv = _rel_vel(vel, omega, ia, ib, r_a[j], r_b[j])
+            vt = m2.dot(dv, t)
+            lam = tangent_mass[j] * (-vt)
+            max_f = friction * n_imp[j]
+            new_imp = jnp.clip(t_imp[j] + lam, -max_f, max_f)
+            lam = jnp.where(active, new_imp - t_imp[j], 0.0)
+            t_imp = t_imp.at[j].add(lam)
+            impulse = lam * t
+            vel = vel.at[ia].add(-m_a * impulse)
+            omega = omega.at[ia].add(-i_a * m2.cross_vv(r_a[j], impulse))
+            vel = vel.at[ib].add(m_b * impulse)
+            omega = omega.at[ib].add(i_b * m2.cross_vv(r_b[j], impulse))
 
-            # --- normal: 2x2 block solver (Box2D case enumeration)
-            a1 = n_imp[p, 0]
-            a2 = n_imp[p, 1]
-            dv1 = _rel_vel(vel, omega, ia, ib, vc.r_a[p, 0], vc.r_b[p, 0])
-            dv2 = _rel_vel(vel, omega, ia, ib, vc.r_a[p, 1], vc.r_b[p, 1])
-            vn1 = m2.dot(dv1, n)
-            vn2 = m2.dot(dv2, n)
-            b1 = vn1 - vc.bias[p, 0] - (vc.k11[p] * a1 + vc.k12[p] * a2)
-            b2 = vn2 - vc.bias[p, 1] - (vc.k12[p] * a1 + vc.k22[p] * a2)
+        # --- normal: single point
+        dv0 = _rel_vel(vel, omega, ia, ib, r_a[0], r_b[0])
+        vn0 = m2.dot(dv0, n)
+        lam0 = -normal_mass[0] * (vn0 - bias[0])
+        new0 = jnp.maximum(n_imp[0] + lam0, 0.0)
+        d_single = new0 - n_imp[0]
 
-            # case 1: both points active
-            x1_1 = -(vc.im11[p] * b1 + vc.im12[p] * b2)
-            x2_1 = -(vc.im12[p] * b1 + vc.im22[p] * b2)
-            ok1 = (x1_1 >= 0.0) & (x2_1 >= 0.0)
-            # case 2: point 1 active, point 2 zero
-            x1_2 = -vc.normal_mass[p, 0] * b1
-            vn2_2 = vc.k12[p] * x1_2 + b2
-            ok2 = (x1_2 >= 0.0) & (vn2_2 >= 0.0)
-            # case 3: point 2 active, point 1 zero
-            x2_3 = -vc.normal_mass[p, 1] * b2
-            vn1_3 = vc.k12[p] * x2_3 + b1
-            ok3 = (x2_3 >= 0.0) & (vn1_3 >= 0.0)
-            # case 4: both zero
-            ok4 = (b1 >= 0.0) & (b2 >= 0.0)
+        # --- normal: 2x2 block solver (Box2D case enumeration)
+        a1 = n_imp[0]
+        a2 = n_imp[1]
+        dv1 = dv0
+        dv2 = _rel_vel(vel, omega, ia, ib, r_a[1], r_b[1])
+        vn1 = vn0
+        vn2 = m2.dot(dv2, n)
+        b1 = vn1 - bias[0] - (k11 * a1 + k12 * a2)
+        b2 = vn2 - bias[1] - (k12 * a1 + k22 * a2)
 
-            x1 = jnp.where(ok1, x1_1, jnp.where(ok2, x1_2, 0.0))
-            x2 = jnp.where(ok1, x2_1, jnp.where(ok3, x2_3, 0.0))
-            applied = ok1 | ok2 | ok3 | ok4
-            d1_blk = jnp.where(applied, x1 - a1, 0.0)
-            d2_blk = jnp.where(applied, x2 - a2, 0.0)
+        x1_1 = -(im11 * b1 + im12 * b2)
+        x2_1 = -(im12 * b1 + im22 * b2)
+        ok1 = (x1_1 >= 0.0) & (x2_1 >= 0.0)
+        x1_2 = -normal_mass[0] * b1
+        vn2_2 = k12 * x1_2 + b2
+        ok2 = (x1_2 >= 0.0) & (vn2_2 >= 0.0)
+        x2_3 = -normal_mass[1] * b2
+        vn1_3 = k12 * x2_3 + b1
+        ok3 = (x2_3 >= 0.0) & (vn1_3 >= 0.0)
+        ok4 = (b1 >= 0.0) & (b2 >= 0.0)
 
-            use_block = cnt == 2
-            one_active = cnt == 1
-            d1 = jnp.where(use_block, d1_blk, jnp.where(one_active, d_single, 0.0))
-            d2 = jnp.where(use_block, d2_blk, 0.0)
+        x1 = jnp.where(ok1, x1_1, jnp.where(ok2, x1_2, 0.0))
+        x2 = jnp.where(ok1, x2_1, jnp.where(ok3, x2_3, 0.0))
+        applied = ok1 | ok2 | ok3 | ok4
+        d1_blk = jnp.where(applied, x1 - a1, 0.0)
+        d2_blk = jnp.where(applied, x2 - a2, 0.0)
 
-            n_imp = n_imp.at[p, 0].add(d1)
-            n_imp = n_imp.at[p, 1].add(d2)
-            p1 = d1 * n
-            p2 = d2 * n
-            vel = vel.at[ia].add(-m_a * (p1 + p2))
-            omega = omega.at[ia].add(
-                -i_a * (m2.cross_vv(vc.r_a[p, 0], p1) + m2.cross_vv(vc.r_a[p, 1], p2))
-            )
-            vel = vel.at[ib].add(m_b * (p1 + p2))
-            omega = omega.at[ib].add(
-                i_b * (m2.cross_vv(vc.r_b[p, 0], p1) + m2.cross_vv(vc.r_b[p, 1], p2))
-            )
-        return vel, omega, n_imp, t_imp
+        use_block = cnt == 2
+        one_active = cnt == 1
+        d1 = jnp.where(use_block, d1_blk, jnp.where(one_active, d_single, 0.0))
+        d2 = jnp.where(use_block, d2_blk, 0.0)
+
+        n_imp_all = n_imp_all.at[p, 0].add(d1)
+        n_imp_all = n_imp_all.at[p, 1].add(d2)
+        t_imp_all = t_imp_all.at[p].set(t_imp)
+        p1 = d1 * n
+        p2 = d2 * n
+        vel = vel.at[ia].add(-m_a * (p1 + p2))
+        omega = omega.at[ia].add(
+            -i_a * (m2.cross_vv(r_a[0], p1) + m2.cross_vv(r_a[1], p2))
+        )
+        vel = vel.at[ib].add(m_b * (p1 + p2))
+        omega = omega.at[ib].add(
+            i_b * (m2.cross_vv(r_b[0], p1) + m2.cross_vv(r_b[1], p2))
+        )
+        return (vel, omega, n_imp_all, t_imp_all), None
+
+    xs = (p_all, ia_all, ib_all, friction_all, vc.normal, vc.r_a, vc.r_b,
+          vc.normal_mass, vc.tangent_mass, vc.bias, vc.k11, vc.k12, vc.k22,
+          vc.im11, vc.im12, vc.im22, vc.count, vc.solve)
+
+    def one_iteration(_, carry):
+        carry, _ = lax.scan(pair_step, carry, xs)
+        return carry
 
     vel, omega, n_imp, t_imp = lax.fori_loop(
-        0,
-        iters,
-        lambda _, c: one_iteration(c),
-        (vel, omega, vc.normal_impulse, vc.tangent_impulse),
+        0, iters, one_iteration, (vel, omega, vc.normal_impulse, vc.tangent_impulse)
     )
     return vel, omega, vc.replace(normal_impulse=n_imp, tangent_impulse=t_imp)
+
+
+def _g(np_const, idx):
+    """Dynamic gather from a small numpy constant table."""
+    return jnp.asarray(np_const)[idx]
 
 
 def integrate_positions(pos, angle, vel, omega, dt, active):
@@ -376,49 +409,61 @@ def solve_position_constraints(
                           jnp.asarray(table.pair_body_b))
     pair_island = labels[pair_body]  # [P] traced
 
-    def one_iteration(carry):
-        pos, angle, done = carry  # done: [B] bool per island label
-        min_sep = jnp.zeros((B,))  # per-island min separation this iteration
-        for p in range(P):
-            ia = int(table.pair_body_a[p])
-            ib = int(table.pair_body_b[p])
-            m_a, m_b = table.inv_mass[ia], table.inv_mass[ib]
-            i_a, i_b = table.inv_inertia[ia], table.inv_inertia[ib]
-            man_p = jax_tree_index(man, p)
-            isl = pair_island[p]
-            pair_done = done[isl] | ~solve_mask[p]
-            for j in range(2):
-                active = (j < man_p.count) & ~pair_done
-                q_a = m2.rot(angle[ia])
-                q_b = m2.rot(angle[ib])
-                org_a = pos[ia] - m2.rot_vec(q_a, local_center[ia])
-                org_b = pos[ib] - m2.rot_vec(q_b, local_center[ib])
-                normal, point, separation = nph.position_solver_manifold(
-                    man_p, org_a, q_a, org_b, q_b, j
-                )
-                track = (j < man_p.count) & solve_mask[p]
-                min_sep = min_sep.at[isl].min(jnp.where(track, separation, 0.0))
-                r_a = point - pos[ia]
-                r_b = point - pos[ib]
-                c = jnp.clip(
-                    BAUMGARTE * (separation + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0
-                )
-                rn_a = m2.cross_vv(r_a, normal)
-                rn_b = m2.cross_vv(r_b, normal)
-                k = m_a + m_b + i_a * rn_a**2 + i_b * rn_b**2
-                impulse = jnp.where((k > 0.0) & active, -c / k, 0.0)
-                pimp = impulse * normal
-                pos = pos.at[ia].add(-m_a * pimp)
-                angle = angle.at[ia].add(-i_a * m2.cross_vv(r_a, pimp))
-                pos = pos.at[ib].add(m_b * pimp)
-                angle = angle.at[ib].add(i_b * m2.cross_vv(r_b, pimp))
+    if P == 0:
+        return pos, angle, jnp.ones((B,), bool)
+
+    ia_all = jnp.asarray(table.pair_body_a)
+    ib_all = jnp.asarray(table.pair_body_b)
+    lc = jnp.asarray(local_center)
+
+    def pair_step(carry, inputs):
+        pos, angle, done, min_sep = carry
+        ia, ib, man_p, isl, solve = inputs
+        m_a, m_b = _g(table.inv_mass, ia), _g(table.inv_mass, ib)
+        i_a, i_b = _g(table.inv_inertia, ia), _g(table.inv_inertia, ib)
+        pair_done = done[isl] | ~solve
+        for j in range(2):
+            active = (j < man_p.count) & ~pair_done
+            track = (j < man_p.count) & solve
+            q_a = m2.rot(angle[ia])
+            q_b = m2.rot(angle[ib])
+            org_a = pos[ia] - m2.rot_vec(q_a, lc[ia])
+            org_b = pos[ib] - m2.rot_vec(q_b, lc[ib])
+            normal, point, separation = nph.position_solver_manifold(
+                man_p, org_a, q_a, org_b, q_b, j
+            )
+            min_sep = min_sep.at[isl].min(jnp.where(track, separation, 0.0))
+            r_a = point - pos[ia]
+            r_b = point - pos[ib]
+            c = jnp.clip(
+                BAUMGARTE * (separation + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0
+            )
+            rn_a = m2.cross_vv(r_a, normal)
+            rn_b = m2.cross_vv(r_b, normal)
+            k = m_a + m_b + i_a * rn_a**2 + i_b * rn_b**2
+            impulse = jnp.where((k > 0.0) & active, -c / k, 0.0)
+            pimp = impulse * normal
+            pos = pos.at[ia].add(-m_a * pimp)
+            angle = angle.at[ia].add(-i_a * m2.cross_vv(r_a, pimp))
+            pos = pos.at[ib].add(m_b * pimp)
+            angle = angle.at[ib].add(i_b * m2.cross_vv(r_b, pimp))
+        return (pos, angle, done, min_sep), None
+
+    def one_iteration(_, carry):
+        pos, angle, done = carry
+        min_sep = jnp.zeros((B,))
+        (pos, angle, done, min_sep), _ = lax.scan(
+            pair_step,
+            (pos, angle, done, min_sep),
+            (ia_all, ib_all, man, pair_island, solve_mask),
+        )
         done = done | (min_sep >= -3.0 * LINEAR_SLOP)
         return pos, angle, done
 
     pos, angle, done = lax.fori_loop(
         0,
         iters,
-        lambda _, c: one_iteration(c),
+        one_iteration,
         (pos, angle, jnp.zeros((B,), bool)),
     )
     return pos, angle, done

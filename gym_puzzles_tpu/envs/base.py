@@ -42,7 +42,7 @@ class PuzzleEnvLogic:
 
     def _control(self, state, action):
         """-> (Bodies with velocity-type controls applied, force [B,2],
-        torque [B])"""
+        torque [B], wake [B] bool)"""
         raise NotImplementedError
 
     def _score(self, state, bodies, goal_contact, agent_dist, block_distance,
@@ -80,11 +80,53 @@ class PuzzleEnvLogic:
         # The random step does not count against the episode clock.
         return state.replace(t=jnp.asarray(0, jnp.int32)), obs
 
+    def state_from_bodies(self, bodies, goal_pos):
+        """Fresh EnvState around given body state (no contacts, flags off,
+        distances computed)."""
+        contacts = eng.init_contacts(self.layout.table)
+        agent_dist, block_distance, block_angle = self._distances(bodies, goal_pos)
+        A = self.cfg.num_agents
+        return cm.EnvState(
+            bodies=bodies,
+            contacts=contacts,
+            goal_contact=jnp.zeros((A,), bool),
+            wall_contact=jnp.asarray(False),
+            agent_dist=agent_dist,
+            block_distance=block_distance,
+            block_angle=block_angle,
+            blks_in_place=jnp.asarray(0, jnp.int32),
+            goal_pos=goal_pos,
+            t=jnp.asarray(0, jnp.int32),
+            done_status=jnp.asarray(0, jnp.int32),
+        )
+
+    def inject(self, origin_positions, angles, goal_pos=None):
+        """Build an EnvState from explicit body-origin poses [B,2]/[B] --
+        the parity-test entry point for mirroring an oracle world."""
+        bodies = eng.init_bodies(self.layout.table, origin_positions, angles)
+        if goal_pos is None:
+            bodies2, goal_pos = self._spawn(__import__("jax").random.key(0))
+            del bodies2
+        return self.state_from_bodies(bodies, jnp.asarray(goal_pos, F))
+
+    def reset_fast(self, key, params: RewardParams):
+        """Spawn only -- observation computed directly from the spawned
+        state, skipping the reference's random-action step.  Same state
+        distribution up to one step; used by the vectorized autoreset path
+        where the extra physics step would double the cost of every step."""
+        bodies, goal_pos = self._spawn(key)
+        state = self.state_from_bodies(bodies, goal_pos)
+        obs, _r, _d, _s, _b = self._score(
+            state, state.bodies, state.goal_contact, state.agent_dist,
+            state.block_distance, state.block_angle, params,
+        )
+        return state, obs
+
     def step(self, state: cm.EnvState, action, params: RewardParams):
         action = jnp.asarray(action, F)
-        bodies, force, torque = self._control(state, action)
+        bodies, force, torque, wake = self._control(state, action)
         bodies, contacts, goal_contact, wall_contact = cm.physics(
-            self.layout, self.cfg, bodies, state.contacts, force, torque,
+            self.layout, self.cfg, bodies, state.contacts, force, torque, wake,
             state.goal_contact, state.wall_contact,
         )
         agent_dist, block_distance, block_angle = self._distances(bodies, state.goal_pos)

@@ -1,0 +1,134 @@
+"""Training CLI, reference-compatible.
+
+Mirrors train/train.py + train/parsers.py: a JSON config file (the
+reference's train/configs/*.json load unchanged), CLI overrides for seed /
+timesteps / n_envs and the PPO hyperparameters, optional wandb logging, and
+checkpoint save/resume.
+
+    python -m gym_puzzles_tpu.train.cli --config train_configs/ppo-mrp-v0.json \
+        --n_envs 4096 --total_timesteps 5000000
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description="PPO on gym_puzzles_tpu")
+    # base flags (parsers.py:22-75)
+    p.add_argument("--config", default=None, type=str, help="JSON config path")
+    p.add_argument("--env", default=None, type=str, help="env id override")
+    p.add_argument("--seed", default=17, type=int)
+    p.add_argument("--total_timesteps", default=1_000_000, type=int)
+    p.add_argument("--n_envs", default=None, type=int)
+    p.add_argument("--disable_wandb", action="store_true")
+    p.add_argument("--save_model", action="store_true")
+    p.add_argument("--checkpoint_dir", default="models", type=str)
+    p.add_argument("--resume", default=None, type=str, help="checkpoint dir to resume")
+    p.add_argument("--distributed", action="store_true",
+                   help="shard the env batch over all local devices")
+    p.add_argument("--log_interval", default=1, type=int)
+    # PPO hparams (parsers.py:78-131)
+    for name, typ in [
+        ("learning_rate", float), ("clip_range", float), ("batch_size", int),
+        ("n_epochs", int), ("ent_coef", float), ("n_steps", int),
+        ("max_grad_norm", float), ("vf_coef", float), ("gamma", float),
+        ("gae_lambda", float), ("target_kl", float),
+    ]:
+        p.add_argument(f"--{name}", default=None, type=typ)
+    return p
+
+
+def main(argv=None):
+    from gym_puzzles_tpu.train.ppo import PPO, PPOConfig
+
+    args = build_parser().parse_args(argv)
+    config = {}
+    if args.config:
+        with open(args.config) as f:
+            config = json.load(f)
+
+    overrides = {}
+    for k in ("learning_rate", "clip_range", "batch_size", "n_epochs", "ent_coef",
+              "n_steps", "max_grad_norm", "vf_coef", "gamma", "gae_lambda",
+              "target_kl"):
+        v = getattr(args, k)
+        if v is not None:
+            overrides[k] = v
+    if args.env:
+        overrides["env_id"] = args.env
+    if args.n_envs:
+        overrides["n_envs"] = args.n_envs
+    overrides["seed"] = args.seed
+    overrides["total_timesteps"] = args.total_timesteps
+
+    cfg = PPOConfig.from_reference_json(config, **overrides)
+    print(f"config: {cfg}")
+
+    logger = None
+    if not args.disable_wandb:
+        try:
+            import wandb
+
+            run = wandb.init(project=cfg.env_id, group="PPO-tpu-v1", config=vars(args))
+            logger = run
+        except Exception as e:  # wandb genuinely optional
+            print(f"wandb unavailable ({e}); logging to stdout only")
+
+    if args.distributed:
+        from gym_puzzles_tpu.parallel.mesh import DistributedPPO, make_mesh
+
+        algo = DistributedPPO(cfg, make_mesh())
+    else:
+        algo = PPO(cfg)
+
+    state = algo.init_state()
+    if args.resume:
+        from gym_puzzles_tpu.train import checkpoint as ckpt
+
+        state = ckpt.restore(args.resume, state)
+        print(f"resumed from {args.resume} at {int(state.timesteps)} steps")
+
+    t_start = time.time()
+    last = {"t": t_start, "steps": int(state.timesteps)}
+
+    def log_fn(update, metrics):
+        if update % args.log_interval:
+            return
+        now = time.time()
+        steps = int(metrics["timesteps"])
+        sps = (steps - last["steps"]) / max(now - last["t"], 1e-9)
+        last.update(t=now, steps=steps)
+        line = {
+            "update": update,
+            "timesteps": steps,
+            "steps_per_s": round(sps),
+            "ep_rew_mean": float(metrics["ep_rew_mean"]),
+            "episodes": float(metrics["episodes"]),
+            "completions": int(metrics["completions"]),
+            "loss": float(metrics["loss"]),
+            "value_loss": float(metrics["value_loss"]),
+            "entropy": float(metrics["entropy"]),
+            "approx_kl": float(metrics["approx_kl"]),
+        }
+        print(json.dumps(line))
+        if logger is not None:
+            logger.log({"rollout/ep_rew_mean": line["ep_rew_mean"],
+                        "time/steps_per_s": sps, **{f"train/{k}": v for k, v in line.items()}})
+
+    final = algo.learn(args.total_timesteps, log_fn=log_fn, state=state)
+
+    if args.save_model:
+        from gym_puzzles_tpu.train import checkpoint as ckpt
+
+        path = f"{args.checkpoint_dir}/{cfg.env_id}"
+        ckpt.save(path, final, int(final.timesteps))
+        print(f"saved checkpoint to {path}")
+    return final
+
+
+if __name__ == "__main__":
+    main()

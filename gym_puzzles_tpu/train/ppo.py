@@ -1,0 +1,367 @@
+"""PPO learner: the TPU-native replacement for the reference's SB3 training
+stack (train/train.py: DummyVecEnv + VecNormalize + PPO.learn).
+
+Shape of the computation: one ``train_step`` = one jitted XLA program that
+  1. rolls the vectorized env forward ``n_steps`` with ``lax.scan`` (env
+     state never leaves the device -- the reference's sequential Python
+     env loop, train.py:80 + SB3 collect_rollouts, is the throughput
+     bottleneck this removes),
+  2. computes GAE(gamma, lambda) advantages,
+  3. runs ``n_epochs`` x minibatch SGD with the clipped surrogate, entropy
+     bonus, value loss, global-norm grad clipping, and SB3's target_kl
+     early stop (break when approx_kl > 1.5 * target_kl).
+
+Hyperparameter names and defaults mirror train/configs/ppo-mrp-*.json so the
+reference's configs load directly.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from flax import struct
+
+from gym_puzzles_tpu.api.vector import VectorEnv
+from gym_puzzles_tpu.train import normalize as nrm
+from gym_puzzles_tpu.train.networks import ActorCritic, gaussian_entropy, gaussian_log_prob
+
+
+@dataclasses.dataclass(frozen=True)
+class PPOConfig:
+    env_id: str = "MultiRobotPuzzle-v0"
+    n_envs: int = 6
+    n_steps: int = 4096
+    batch_size: int = 128
+    n_epochs: int = 10
+    learning_rate: float = 0.00063
+    gamma: float = 0.99
+    gae_lambda: float = 0.95
+    clip_range: float = 0.2
+    ent_coef: float = 0.01
+    vf_coef: float = 0.5
+    max_grad_norm: float = 0.5
+    target_kl: float | None = 0.01
+    net_arch: tuple = (256, 256)
+    normalize: bool = True
+    seed: int = 17
+    total_timesteps: int = 1_000_000
+
+    @staticmethod
+    def from_reference_json(config: dict, **overrides) -> "PPOConfig":
+        """Load a reference train/configs/*.json dict (train.py:33-41)."""
+        alg = dict(config.get("alg_params", {}))
+        kw: dict[str, Any] = dict(
+            env_id=config.get("env", "MultiRobotPuzzle-v0"),
+            n_envs=config.get("n_envs", 6),
+        )
+        for k in ("learning_rate", "n_steps", "batch_size", "n_epochs", "gamma",
+                  "gae_lambda", "clip_range", "ent_coef", "vf_coef",
+                  "max_grad_norm", "target_kl"):
+            if k in alg:
+                kw[k] = alg[k]
+        net = alg.get("policy_kwargs", {}).get("net_arch")
+        if net:
+            kw["net_arch"] = tuple(net)
+        kw.update(overrides)
+        return PPOConfig(**kw)
+
+
+@struct.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    normalizer: Any
+    vstate: Any  # VectorState
+    last_obs: Any  # [E, obs_dim] raw
+    key: Any
+    timesteps: Any  # int32 env steps consumed
+    ep_return: Any  # [E] running raw episode returns
+    ep_len: Any  # [E]
+    stat_return: Any  # [] EMA of completed episode returns
+    stat_count: Any
+
+
+@struct.dataclass
+class Transition:
+    obs: Any
+    action: Any
+    log_prob: Any
+    value: Any
+    reward: Any
+    done: Any
+    status: Any
+
+
+class PPO:
+    """Builder object: holds the env + net and exposes pure jitted fns."""
+
+    def __init__(self, cfg: PPOConfig, env: VectorEnv | None = None):
+        self.cfg = cfg
+        if env is None:
+            from gym_puzzles_tpu.api.registry import make
+
+            env = make(cfg.env_id, num_envs=cfg.n_envs)
+        self.env = env
+        self.net = ActorCritic(act_dim=env.cfg.act_dim, hidden=cfg.net_arch)
+        self.tx = optax.chain(
+            optax.clip_by_global_norm(cfg.max_grad_norm),
+            optax.adam(cfg.learning_rate, eps=1e-5),
+        )
+        self.env_params = env.default_params()
+        self._train_step = jax.jit(self._build_train_step(), donate_argnums=0)
+
+    # ------------------------------------------------------------------
+    def init_state(self, key=None) -> TrainState:
+        cfg = self.cfg
+        key = jax.random.key(cfg.seed) if key is None else key
+        k_net, k_env, k_run = jax.random.split(key, 3)
+        vstate, obs = self.env.reset(k_env, self.env_params)
+        params = self.net.init(k_net, jnp.zeros((1, self.env.cfg.obs_dim)))
+        return TrainState(
+            params=params,
+            opt_state=self.tx.init(params),
+            normalizer=nrm.NormalizerState.create(self.env.cfg.obs_dim, cfg.n_envs, cfg.gamma),
+            vstate=vstate,
+            last_obs=obs,
+            key=k_run,
+            timesteps=jnp.asarray(0, jnp.int32),
+            ep_return=jnp.zeros((cfg.n_envs,), jnp.float32),
+            ep_len=jnp.zeros((cfg.n_envs,), jnp.int32),
+            stat_return=jnp.asarray(0.0, jnp.float32),
+            stat_count=jnp.asarray(0.0, jnp.float32),
+        )
+
+    # ------------------------------------------------------------------
+    def _build_train_step(self, axis_name: str | None = None, n_devices: int = 1):
+        """axis_name: when set, the returned function is written for use
+        inside shard_map over that mesh axis -- per-device env shards,
+        pmean'd gradients/metrics, synchronized normalizer statistics and
+        KL early-stop (the TPU replacement for the reference's
+        single-process learner)."""
+        cfg = self.cfg
+        env = self.env
+        net = self.net
+        tx = self.tx
+        env_params = self.env_params
+        use_norm = cfg.normalize
+
+        def psync(x):
+            return jax.lax.pmean(x, axis_name) if axis_name else x
+
+        def psum(x):
+            return jax.lax.psum(x, axis_name) if axis_name else x
+
+        def make_rollout_step(params):
+            def rollout_step(carry, _):
+                vstate, last_obs, norm, key, ep_ret, ep_len, stat_r, stat_c = carry
+                if use_norm:
+                    norm, n_obs = nrm.normalize_obs(norm, last_obs, update=True)
+                else:
+                    n_obs = last_obs
+                key, k_act = jax.random.split(key)
+                mean, log_std, value = net.apply(params, n_obs)
+                noise = jax.random.normal(k_act, mean.shape)
+                action = mean + jnp.exp(log_std) * noise
+                log_prob = gaussian_log_prob(mean, log_std, action)
+                clipped = jnp.clip(action, -1.0, 1.0)  # SB3 clips to the space
+
+                vstate, obs, reward, done, info = env._step_fn(vstate, clipped, env_params)
+                if use_norm:
+                    norm, n_reward = nrm.normalize_reward(norm, reward, done, update=True)
+                else:
+                    n_reward = reward
+
+                ep_ret = ep_ret + reward
+                ep_len = ep_len + 1
+                finished = done
+                stat_r = stat_r + jnp.where(finished, ep_ret, 0.0).sum()
+                stat_c = stat_c + finished.sum()
+                ep_ret = jnp.where(finished, 0.0, ep_ret)
+                ep_len = jnp.where(finished, 0, ep_len)
+
+                tr = Transition(
+                    obs=n_obs, action=action, log_prob=log_prob, value=value,
+                    reward=n_reward, done=done, status=info["done_status"],
+                )
+                return (vstate, obs, norm, key, ep_ret, ep_len, stat_r, stat_c), tr
+
+            return rollout_step
+
+        def loss_fn(params, batch, advantages, returns):
+            mean, log_std, value = net.apply(params, batch.obs)
+            log_prob = gaussian_log_prob(mean, log_std, batch.action)
+            ratio = jnp.exp(log_prob - batch.log_prob)
+            a = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
+            pg1 = a * ratio
+            pg2 = a * jnp.clip(ratio, 1.0 - cfg.clip_range, 1.0 + cfg.clip_range)
+            pg_loss = -jnp.minimum(pg1, pg2).mean()
+            v_loss = ((returns - value) ** 2).mean()
+            ent = gaussian_entropy(log_std)
+            total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            approx_kl = ((ratio - 1.0) - jnp.log(ratio)).mean()
+            return total, (pg_loss, v_loss, ent, approx_kl)
+
+        grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+        def train_step(ts: TrainState):
+            # --- rollout -------------------------------------------------
+            if axis_name:
+                # replicated master key -> decorrelated per-device streams;
+                # the stored key advances replicated.
+                local_key = jax.random.fold_in(ts.key, jax.lax.axis_index(axis_name))
+                next_master = jax.random.split(ts.key, 2)[0]
+            else:
+                local_key = ts.key
+                next_master = None
+            carry = (ts.vstate, ts.last_obs, ts.normalizer, local_key,
+                     ts.ep_return, ts.ep_len, ts.stat_return, ts.stat_count)
+            carry, traj = jax.lax.scan(
+                make_rollout_step(ts.params), carry, None, length=cfg.n_steps
+            )
+            vstate, last_obs, norm, key, ep_ret, ep_len, stat_r, stat_c = carry
+            if axis_name:
+                # sync normalizer statistics across the mesh (per-device
+                # updates during the rollout drift apart): mean/var averaged,
+                # counts accumulated as old + sum(per-device increments)
+                def sync_rms(new, old):
+                    return new.replace(
+                        mean=psync(new.mean),
+                        var=psync(new.var),
+                        count=old.count + psum(new.count - old.count),
+                    )
+
+                norm = norm.replace(
+                    obs_rms=sync_rms(norm.obs_rms, ts.normalizer.obs_rms),
+                    ret_rms=sync_rms(norm.ret_rms, ts.normalizer.ret_rms),
+                )
+                stat_r = ts.stat_return + psum(stat_r - ts.stat_return)
+                stat_c = ts.stat_count + psum(stat_c - ts.stat_count)
+
+            # bootstrap value for GAE
+            if use_norm:
+                _, n_last = nrm.normalize_obs(norm, last_obs, update=False)
+            else:
+                n_last = last_obs
+            _, _, last_value = net.apply(ts.params, n_last)
+
+            # --- GAE (SB3 semantics: dones mark episode boundaries) ------
+            def gae_step(carry, tr_t):
+                gae, next_value = carry
+                nonterminal = 1.0 - tr_t.done.astype(jnp.float32)
+                delta = tr_t.reward + cfg.gamma * next_value * nonterminal - tr_t.value
+                gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+                return (gae, tr_t.value), gae
+
+            (_, _), advantages = jax.lax.scan(
+                gae_step, (jnp.zeros_like(last_value), last_value), traj, reverse=True
+            )
+            returns = advantages + traj.value
+
+            # --- flatten (local shapes: under shard_map this device sees
+            # n_envs / n_devices env columns) -----------------------------
+            total = traj.done.shape[0] * traj.done.shape[1]
+            flat = jax.tree_util.tree_map(lambda x: x.reshape((total,) + x.shape[2:]), traj)
+            adv_f = advantages.reshape(total)
+            ret_f = returns.reshape(total)
+            # per-device minibatch keeps the reference's *global* batch size
+            mb_size = max(1, min(cfg.batch_size // n_devices, total))
+            n_minibatch = max(1, total // mb_size)
+
+            def epoch_step(carry, _):
+                params, opt_state, key, stop, kl_last = carry
+                key, k = jax.random.split(key)
+                perm = jax.random.permutation(k, total)
+
+                def mb_step(carry, idx):
+                    params, opt_state, stop, kl_last = carry
+                    mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
+                    (loss, (pg, vl, ent, kl)), grads = grad_fn(
+                        params, mb, adv_f[idx], ret_f[idx]
+                    )
+                    # DP all-reduce: same update on every device, KL stop in sync
+                    grads = psync(grads)
+                    kl = psync(kl)
+                    updates, new_opt = tx.update(grads, opt_state, params)
+                    new_params = optax.apply_updates(params, updates)
+                    # SB3 target_kl: stop all further minibatches this update
+                    if cfg.target_kl is not None:
+                        newly_stopped = kl > 1.5 * cfg.target_kl
+                    else:
+                        newly_stopped = jnp.asarray(False)
+                    use = ~stop
+                    params = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(use, new, old), new_params, params
+                    )
+                    opt_state = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(use, new, old), new_opt, opt_state
+                    )
+                    stop = stop | (use & newly_stopped)
+                    kl_last = jnp.where(use, kl, kl_last)
+                    return (params, opt_state, stop, kl_last), (loss, pg, vl, ent)
+
+                idxs = perm[: n_minibatch * mb_size].reshape(n_minibatch, mb_size)
+                (params, opt_state, stop, kl_last), metrics = jax.lax.scan(
+                    mb_step, (params, opt_state, stop, kl_last), idxs
+                )
+                return (params, opt_state, key, stop, kl_last), metrics
+
+            init = (ts.params, ts.opt_state, key, jnp.asarray(False), jnp.asarray(0.0))
+            (params, opt_state, key, stop, kl_last), metrics = jax.lax.scan(
+                epoch_step, init, None, length=cfg.n_epochs
+            )
+            loss_m, pg_m, vl_m, ent_m = metrics
+
+            completed = stat_c - ts.stat_count
+            mean_ret = jnp.where(
+                completed > 0, (stat_r - ts.stat_return) / jnp.maximum(completed, 1.0), jnp.nan
+            )
+            global_steps = ts.timesteps + total * n_devices
+            out_metrics = {
+                "loss": psync(loss_m.mean()),
+                "policy_loss": psync(pg_m.mean()),
+                "value_loss": psync(vl_m.mean()),
+                "entropy": psync(ent_m.mean()),
+                "approx_kl": kl_last,
+                "kl_stopped": stop,
+                "ep_rew_mean": mean_ret,
+                "episodes": completed,
+                "completions": psum((flat.status == 3).sum()),
+                "timesteps": global_steps,
+            }
+            new_ts = TrainState(
+                params=params,
+                opt_state=opt_state,
+                normalizer=norm,
+                vstate=vstate,
+                last_obs=last_obs,
+                key=next_master if axis_name else key,
+                timesteps=global_steps,
+                ep_return=ep_ret,
+                ep_len=ep_len,
+                stat_return=stat_r,
+                stat_count=stat_c,
+            )
+            return new_ts, out_metrics
+
+        return train_step
+
+    # ------------------------------------------------------------------
+    def train_step(self, ts: TrainState):
+        return self._train_step(ts)
+
+    def learn(self, total_timesteps=None, log_fn=None, state=None):
+        cfg = self.cfg
+        total = total_timesteps or cfg.total_timesteps
+        ts = self.init_state() if state is None else state
+        per_update = cfg.n_steps * cfg.n_envs
+        n_updates = max(1, total // per_update)
+        for u in range(n_updates):
+            ts, metrics = self.train_step(ts)
+            if log_fn is not None:
+                log_fn(u, jax.device_get(metrics))
+        return ts

@@ -18,3 +18,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+from gym_puzzles_tpu.utils import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()

@@ -1,0 +1,6 @@
+import numpy as np
+
+
+def np_random(seed=None):
+    rng = np.random.RandomState(seed)
+    return rng, seed

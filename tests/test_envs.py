@@ -1,0 +1,103 @@
+"""Env-level smoke + invariant tests for all five registered variants."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import gym_puzzles_tpu as gpt
+
+ALL_IDS = list(gpt.ENV_IDS)
+
+EXPECT_DIMS = {  # SURVEY.md §8.14 empirical anchors
+    "MultiRobotPuzzle-v0": (28, 6),
+    "MultiRobotPuzzleHeavy-v0": (40, 15),
+    "MultiRobotPuzzle-v2": (39, 4),
+    "MultiRobotPuzzleHeavy-v2": (39, 4),
+    "MultiRobotPuzzle-v3": (27, 6),
+}
+
+
+@pytest.mark.parametrize("env_id", ALL_IDS)
+def test_reset_step_shapes(env_id):
+    E = 4
+    env = gpt.make(env_id, num_envs=E)
+    obs_dim, act_dim = EXPECT_DIMS[env_id]
+    assert env.cfg.obs_dim == obs_dim and env.cfg.act_dim == act_dim
+
+    vstate, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (E, obs_dim)
+    assert np.isfinite(np.asarray(obs)).all()
+
+    key = jax.random.key(1)
+    for _ in range(3):
+        key, k = jax.random.split(key)
+        action = jax.random.uniform(k, (E, act_dim), minval=-1, maxval=1)
+        vstate, obs, reward, done, info = env.step(vstate, action)
+        assert obs.shape == (E, obs_dim)
+        assert reward.shape == (E,)
+        assert done.shape == (E,)
+        assert np.isfinite(np.asarray(obs)).all()
+        assert np.isfinite(np.asarray(reward)).all()
+
+
+@pytest.mark.parametrize("env_id", ["MultiRobotPuzzle-v0", "MultiRobotPuzzle-v2", "MultiRobotPuzzle-v3"])
+def test_determinism(env_id):
+    """Same key + same actions => bitwise identical trajectories."""
+    E = 2
+    env = gpt.make(env_id, num_envs=E)
+    act_dim = env.cfg.act_dim
+    actions = jax.random.uniform(jax.random.key(7), (5, E, act_dim), minval=-1, maxval=1)
+
+    def rollout():
+        vstate, obs = env.reset(jax.random.key(3))
+        tot = [np.asarray(obs)]
+        for t in range(5):
+            vstate, obs, r, d, _ = env.step(vstate, actions[t])
+            tot.append(np.asarray(obs))
+        return np.concatenate(tot)
+
+    a, b = rollout(), rollout()
+    np.testing.assert_array_equal(a, b)
+
+
+@pytest.mark.parametrize("env_id", ["MultiRobotPuzzle-v0"])
+def test_vmap_invariance(env_id):
+    """A batch of identical states steps identically to a single env."""
+    from gym_puzzles_tpu.api import registry
+
+    logic = registry._logic(env_id)
+    params = logic.default_params()
+    state, obs = logic.reset(jax.random.key(0), params)
+    action = jax.random.uniform(jax.random.key(1), (logic.cfg.act_dim,), minval=-1, maxval=1)
+
+    s1, o1, r1, d1, _ = jax.jit(logic.step)(state, action, params)
+
+    E = 3
+    batch = jax.tree_util.tree_map(lambda x: jnp.stack([x] * E), state)
+    actions = jnp.stack([action] * E)
+    sB, oB, rB, dB, _ = jax.jit(jax.vmap(logic.step, in_axes=(0, 0, None)))(
+        batch, actions, params
+    )
+    for e in range(E):
+        np.testing.assert_array_equal(np.asarray(oB[e]), np.asarray(o1))
+        np.testing.assert_array_equal(np.asarray(rB[e]), np.asarray(r1))
+
+
+def test_reference_reset_mode():
+    env = gpt.make("MultiRobotPuzzle-v0", num_envs=2, reset_mode="reference")
+    vstate, obs = env.reset(jax.random.key(0))
+    assert np.isfinite(np.asarray(obs)).all()
+    # reference reset already took one random step; episode clock still 0
+    assert int(np.asarray(vstate.env.t).max()) == 0
+
+
+def test_update_params_and_goal():
+    from gym_puzzles_tpu.envs.config import RewardParams
+
+    p = RewardParams.default("v2")
+    p2 = p.update_params(timestep=100, decay=0.999)
+    # decay**(-t) with decay<1 grows
+    assert float(p2.shaped_puzzle_reward) > float(p.puzzle_complete_reward)
+    p3 = p.update_goal(epoch=0, nb_epochs=10, base_epsilon=0.1)
+    assert float(p3.scaled_epsilon) == pytest.approx(0.2)

@@ -1,0 +1,51 @@
+"""Multi-chip path on the virtual 8-device CPU mesh: the distributed PPO
+train step compiles, runs, and keeps replicated state consistent."""
+
+import numpy as np
+import jax
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def test_dryrun_multichip():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import dryrun_multichip
+
+    dryrun_multichip(8)
+
+
+def test_entry_compiles():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from __graft_entry__ import entry
+
+    fn, args = entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    vstate, obs, reward, done, value = out
+    assert np.isfinite(np.asarray(obs)).all()
+
+
+def test_distributed_matches_env_count():
+    from gym_puzzles_tpu.parallel.mesh import DistributedPPO, make_mesh
+    from gym_puzzles_tpu.train.ppo import PPOConfig
+
+    mesh = make_mesh(4)
+    cfg = PPOConfig(env_id="MultiRobotPuzzle-v0", n_envs=8, n_steps=4,
+                    batch_size=8, n_epochs=1, seed=0)
+    algo = DistributedPPO(cfg, mesh)
+    ts = algo.init_state()
+    ts, metrics = algo.train_step(ts)
+    m = jax.device_get(metrics)
+    assert int(m["timesteps"]) == 8 * 4
+    assert np.isfinite(m["loss"])
+    # params remain replicated across the mesh
+    leaf = jax.tree_util.tree_leaves(ts.params)[0]
+    shards = [np.asarray(s.data) for s in leaf.addressable_shards]
+    for s in shards[1:]:
+        np.testing.assert_array_equal(shards[0], s)

@@ -1,0 +1,76 @@
+"""PPO training smoke + checkpoint exact-resume tests (tiny configs)."""
+
+import numpy as np
+import jax
+
+from gym_puzzles_tpu.train.ppo import PPO, PPOConfig
+
+
+def tiny_cfg(**kw):
+    base = dict(
+        env_id="MultiRobotPuzzle-v0",
+        n_envs=4,
+        n_steps=8,
+        batch_size=8,
+        n_epochs=2,
+        total_timesteps=64,
+        seed=3,
+    )
+    base.update(kw)
+    return PPOConfig(**base)
+
+
+def test_train_step_runs_and_is_finite():
+    algo = PPO(tiny_cfg())
+    ts = algo.init_state()
+    ts, metrics = algo.train_step(ts)
+    m = jax.device_get(metrics)
+    assert np.isfinite(m["loss"])
+    assert np.isfinite(m["value_loss"])
+    assert int(m["timesteps"]) == 4 * 8
+    # params actually changed
+    ts2, m2 = algo.train_step(ts)
+    assert np.isfinite(jax.device_get(m2)["loss"])
+
+
+def test_reference_config_loads():
+    import json
+
+    with open("train_configs/ppo-mrp-v0.json") as f:
+        cfg = PPOConfig.from_reference_json(json.load(f), n_envs=2, n_steps=4,
+                                            batch_size=4, n_epochs=1)
+    assert cfg.env_id == "MultiRobotPuzzle-v0"
+    assert cfg.learning_rate == 0.00063
+    assert cfg.net_arch == (256, 256)
+    assert cfg.gae_lambda == 0.95
+
+
+def test_checkpoint_exact_resume(tmp_path):
+    from gym_puzzles_tpu.train import checkpoint as ckpt
+
+    algo = PPO(tiny_cfg())
+    ts = algo.init_state()
+    ts, _ = algo.train_step(ts)
+    ckpt.save(tmp_path / "ck", ts, step=1)
+
+    restored = ckpt.restore(tmp_path / "ck", algo.init_state())
+    # continuing from the restore reproduces the exact same next state
+    a, am = algo.train_step(ts)
+    b, bm = algo.train_step(restored)
+    flat_a = jax.tree_util.tree_leaves(jax.device_get((a.params, am)))
+    flat_b = jax.tree_util.tree_leaves(jax.device_get((b.params, bm)))
+    for x, y in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_normalizer_stats():
+    from gym_puzzles_tpu.train import normalize as nrm
+    import jax.numpy as jnp
+
+    st = nrm.NormalizerState.create(3, 2)
+    rng = np.random.RandomState(0)
+    data = rng.normal(2.0, 3.0, size=(50, 3)).astype(np.float32)
+    for i in range(0, 50, 10):
+        st, n = nrm.normalize_obs(st, jnp.asarray(data[i:i + 10]))
+    np.testing.assert_allclose(np.asarray(st.obs_rms.mean), data.mean(0), atol=1e-3)
+    np.testing.assert_allclose(np.asarray(st.obs_rms.var), data.var(0), rtol=0.05)
