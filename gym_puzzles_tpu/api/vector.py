@@ -36,50 +36,72 @@ class VectorState:
     key: object  # [E] PRNG keys
 
 
-def _tree_select(done, a, b):
+def _tree_select(done, a, b, axis=0):
     def sel(x, y):
-        m = done.reshape(done.shape + (1,) * (x.ndim - 1))
+        if axis == -1:
+            m = done  # trailing batch axis broadcasts naturally
+        else:
+            m = done.reshape(done.shape + (1,) * (x.ndim - 1))
         return jnp.where(m, x, y)
 
     return jax.tree_util.tree_map(sel, a, b)
 
 
 class VectorEnv:
-    """Batched, jitted env.  All methods are pure: state in, state out."""
+    """Batched, jitted env.  All methods are pure: state in, state out.
+
+    ``batch_axis`` picks where the env-batch dimension lives in the *state*
+    pytree.  The default -1 is lane-major: on TPU the minor-most dimension
+    maps to the 128 VPU lanes, so per-env physics scalars occupy full lanes
+    ([B, 2, E] instead of [E, B, 2], which would waste 64x the vector unit
+    on the padded trailing dims).  The public obs/action/reward contract is
+    batch-FIRST regardless; transposes happen only at the obs boundary.
+    """
 
     def __init__(self, logic: PuzzleEnvLogic, num_envs: int, auto_reset: bool = True,
-                 reset_mode: str = "fast"):
+                 reset_mode: str = "fast", batch_axis: int = -1):
         assert reset_mode in ("fast", "reference")
+        assert batch_axis in (0, -1)
         self.logic = logic
         self.cfg = logic.cfg
         self.num_envs = num_envs
         self.auto_reset = auto_reset
         self.reset_mode = reset_mode
+        self.batch_axis = batch_axis
+        ax = batch_axis
 
         reset_one = logic.reset if reset_mode == "reference" else logic.reset_fast
         self._reset_one = reset_one
 
+        def fix_obs(obs):
+            return obs.T if ax == -1 else obs
+
         @jax.jit
         def _reset(keys, params):
             env_keys, reset_keys = jax.vmap(jax.random.split, out_axes=1)(keys)
-            state, obs = jax.vmap(reset_one, in_axes=(0, None))(reset_keys, params)
-            return VectorState(env=state, key=env_keys), obs
+            state, obs = jax.vmap(reset_one, in_axes=(0, None), out_axes=ax)(
+                reset_keys, params
+            )
+            return VectorState(env=state, key=env_keys), fix_obs(obs)
 
         @jax.jit
         def _step(vstate, action, params):
+            act = action.T if ax == -1 else action  # user passes [E, act_dim]
             state, obs, reward, done, info = jax.vmap(
-                logic.step, in_axes=(0, 0, None)
-            )(vstate.env, action, params)
+                logic.step, in_axes=(ax, ax, None), out_axes=ax
+            )(vstate.env, act, params)
             key = vstate.key
             if auto_reset:
                 next_keys, reset_keys = jax.vmap(jax.random.split, out_axes=1)(key)
-                r_state, r_obs = jax.vmap(reset_one, in_axes=(0, None))(reset_keys, params)
-                state = _tree_select(done, r_state, state)
-                obs = jnp.where(done[:, None], r_obs, obs)
+                r_state, r_obs = jax.vmap(reset_one, in_axes=(0, None), out_axes=ax)(
+                    reset_keys, params
+                )
+                state = _tree_select(done, r_state, state, ax)
+                obs = jnp.where(done if ax == -1 else done[:, None], r_obs, obs)
                 # typed PRNG keys: 1-D mask, or broadcasting silently makes
                 # an [E, E] key array and poisons the next trace
                 key = jnp.where(done, next_keys, key)
-            return VectorState(env=state, key=key), obs, reward, done, info
+            return VectorState(env=state, key=key), fix_obs(obs), reward, done, info
 
         self._reset_fn = _reset
         self._step_fn = _step

@@ -48,18 +48,28 @@ def make_mesh(n_devices: int | None = None, axis: str = DATA_AXIS) -> Mesh:
     return Mesh(np.array(devices), (axis,))
 
 
-def train_state_specs(axis: str = DATA_AXIS):
+def train_state_specs(axis: str = DATA_AXIS, batch_axis: int = -1):
     """PartitionSpec pytree-builder for TrainState: env-batch leaves sharded
-    on the data axis, learner state replicated."""
-    sharded_fields = {"vstate", "last_obs", "ep_return", "ep_len"}
+    on the data axis, learner state replicated.
+
+    The env state pytree keeps its batch dimension *last* (lane-major TPU
+    layout, see api/vector.py), so its leaves shard on their trailing axis;
+    the user-contract leaves (last_obs, per-env stats, keys) are batch-first.
+    """
 
     def spec_for(path, leaf):
         top = path[0].name if path else ""
-        if top in sharded_fields:
+        names = [getattr(p, "name", "") for p in path]
+        ndim = getattr(leaf, "ndim", len(getattr(leaf, "shape", ())))
+        if top == "vstate" and "env" in names:
+            if batch_axis == -1:
+                return P(*([None] * (ndim - 1)), axis)
             return P(axis)
-        if top == "normalizer" and any(
-            getattr(p, "name", "") == "returns" for p in path
-        ):
+        if top == "vstate" and "key" in names:
+            return P(axis)
+        if top in ("last_obs", "ep_return", "ep_len"):
+            return P(axis)
+        if top == "normalizer" and "returns" in names:
             return P(axis)
         return P()
 
@@ -90,7 +100,7 @@ class DistributedPPO:
         axis = mesh.axis_names[0]
 
         inner = self.ppo._build_train_step(axis_name=axis, n_devices=n_dev)
-        spec_builder = train_state_specs(axis)
+        spec_builder = train_state_specs(axis, batch_axis=self.ppo.env.batch_axis)
         ts_template = jax.eval_shape(self.ppo.init_state, jax.random.key(0))
         in_specs = spec_builder(ts_template)
 
@@ -144,8 +154,9 @@ def _local_shard_shapes(template, specs, n_dev):
 
     def shrink(leaf, spec):
         shape = list(leaf.shape)
-        if spec and len(spec) > 0 and spec[0] is not None and shape:
-            shape[0] //= n_dev
+        for dim, name in enumerate(spec):
+            if name is not None and dim < len(shape):
+                shape[dim] //= n_dev
         return jax.ShapeDtypeStruct(tuple(shape), leaf.dtype)
 
     return jax.tree_util.tree_map(
