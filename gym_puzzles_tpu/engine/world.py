@@ -157,7 +157,8 @@ def step(
 
     # -- contact update (b2ContactManager::Collide): skipped for pairs whose
     # dynamic endpoints are all asleep; their manifolds stay frozen ---------
-    man_new = collide_all(table, bodies)
+    with jax.named_scope("narrowphase"):
+        man_new = collide_all(table, bodies)
     awake_eff = awake | jnp.asarray(table.is_static)
     upd = awake_eff[table.pair_body_a] | awake_eff[table.pair_body_b]
 
@@ -173,9 +174,10 @@ def step(
     matched_t = jnp.where(upd[:, None], matched_t, contacts.tangent_impulse)
 
     # -- islands + wake propagation ----------------------------------------
-    labels = slv.compute_islands(table, touching)
-    awake, sleep_time = slv.propagate_wake(table, labels, awake, sleep_time)
-    active = awake & jnp.asarray(dyn)
+    with jax.named_scope("islands"):
+        labels = slv.compute_islands(table, touching)
+        awake, sleep_time = slv.propagate_wake(table, labels, awake, sleep_time)
+        active = awake & jnp.asarray(dyn)
 
     # -- integrate velocities + damping (awake bodies only) ----------------
     vel_i = bodies.vel + dt * table.inv_mass[:, None] * force
@@ -188,23 +190,28 @@ def step(
     omega = jnp.where(active, omega_i * ang_k, bodies.omega)
 
     # -- contact solve ----------------------------------------------------
-    vc = slv.init_velocity_constraints(
-        table, man, bodies.pos, bodies.angle, vel, omega, matched_n, matched_t, active
-    )
-    vel, omega = slv.warm_start(table, vc, vel, omega)
-    vel, omega, vc = slv.solve_velocity_constraints(table, vc, vel, omega, velocity_iters)
+    with jax.named_scope("velocity_solve"):
+        vc = slv.init_velocity_constraints(
+            table, man, bodies.pos, bodies.angle, vel, omega, matched_n, matched_t, active
+        )
+        vel, omega = slv.warm_start(table, vc, vel, omega)
+        vel, omega, vc = slv.solve_velocity_constraints(
+            table, vc, vel, omega, velocity_iters
+        )
 
-    pos, angle, vel, omega = slv.integrate_positions(
-        bodies.pos, bodies.angle, vel, omega, dt, active
-    )
-    pos, angle, pos_solved = slv.solve_position_constraints(
-        table, man, pos, angle, position_iters, vc.solve, labels
-    )
+    with jax.named_scope("position_solve"):
+        pos, angle, vel, omega = slv.integrate_positions(
+            bodies.pos, bodies.angle, vel, omega, dt, active
+        )
+        pos, angle, pos_solved = slv.solve_position_constraints(
+            table, man, pos, angle, position_iters, vc.solve, labels
+        )
 
     # -- sleep bookkeeping (zeroes velocities of islands at rest) ----------
-    awake, sleep_time, vel, omega = slv.update_sleep(
-        table, labels, awake, sleep_time, vel, omega, dt, pos_solved
-    )
+    with jax.named_scope("sleep"):
+        awake, sleep_time, vel, omega = slv.update_sleep(
+            table, labels, awake, sleep_time, vel, omega, dt, pos_solved
+        )
 
     # -- store impulses for next-tick warm start (b2ContactSolver::
     # StoreImpulses; degraded second points keep their matched value, as

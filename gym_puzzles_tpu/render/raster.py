@@ -203,13 +203,21 @@ def render_state(logic, env_state, mode: str = "human_vision") -> np.ndarray:
     return img
 
 
-def render_batch(logic, batched_state, indices=None, mode="human_vision"):
-    """Render several envs from a batched EnvState -> [N, H, W, 3]."""
+def render_batch(logic, batched_state, indices=None, mode="human_vision",
+                 batch_axis: int = -1):
+    """Render several envs from a batched EnvState -> [N, H, W, 3].
+
+    ``batch_axis`` matches the VectorEnv layout (default -1, lane-major)."""
     import jax
 
-    indices = range(len(np.asarray(batched_state.bodies.angle))) if indices is None else indices
+    n = np.asarray(batched_state.bodies.angle).shape[batch_axis]
+    indices = range(n) if indices is None else indices
     frames = []
     for i in indices:
-        one = jax.tree_util.tree_map(lambda x: np.asarray(x)[i], batched_state)
+        if batch_axis == -1:
+            pick = lambda x: np.asarray(x)[..., i]
+        else:
+            pick = lambda x: np.asarray(x)[i]
+        one = jax.tree_util.tree_map(pick, batched_state)
         frames.append(render_state(logic, one, mode=mode))
     return np.stack(frames)

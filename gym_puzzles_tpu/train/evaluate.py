@@ -1,0 +1,97 @@
+"""Policy evaluation + video recording: the rebuild of train/test.py.
+
+``evaluate_policy`` runs N episodes with the trained deterministic policy
+(normalizer frozen: VecNormalize training=False / norm_reward=False,
+test.py:66-68) and reports mean/std of raw episode returns; ``record_video``
+renders an episode with the host rasterizer and writes an .npz frame stack
+(plus an animated GIF if PIL is available).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def evaluate_policy(algo, train_state, n_episodes: int = 10, deterministic: bool = True,
+                    max_steps: int | None = None, seed: int = 0):
+    """-> (mean_return, std_return, returns list).  Uses a dedicated
+    single-batch env so evaluation never disturbs training state."""
+    from gym_puzzles_tpu.api.registry import make
+    from gym_puzzles_tpu.train import normalize as nrm
+
+    cfg = algo.cfg
+    env = make(cfg.env_id, num_envs=1, auto_reset=False, reset_mode="reference")
+    params = env.default_params()
+    net = algo.net
+    norm = train_state.normalizer
+    max_steps = max_steps or env.cfg.max_episode_steps
+
+    @jax.jit
+    def policy(obs, key):
+        _, n_obs = nrm.normalize_obs(norm, obs, update=False)
+        mean, log_std, _v = net.apply(train_state.params, n_obs)
+        if deterministic:
+            return jnp.clip(mean, -1.0, 1.0)
+        noise = jax.random.normal(key, mean.shape)
+        return jnp.clip(mean + jnp.exp(log_std) * noise, -1.0, 1.0)
+
+    returns = []
+    key = jax.random.key(seed)
+    for ep in range(n_episodes):
+        key, k = jax.random.split(key)
+        vstate, obs = env.reset(k, params)
+        total = 0.0
+        for _t in range(max_steps):
+            key, ka = jax.random.split(key)
+            action = policy(obs, ka)
+            vstate, obs, reward, done, _ = env.step(vstate, action, params)
+            total += float(reward[0])
+            if bool(done[0]):
+                break
+        returns.append(total)
+    return float(np.mean(returns)), float(np.std(returns)), returns
+
+
+def record_video(algo, train_state, path: str, n_steps: int = 300, seed: int = 0,
+                 mode: str = "human_vision", fps: int = 50):
+    """Roll one episode and save frames.  Writes ``path``.npz always and
+    ``path``.gif when PIL is importable."""
+    from gym_puzzles_tpu.api.registry import _logic, make
+    from gym_puzzles_tpu.render import render_state
+    from gym_puzzles_tpu.train import normalize as nrm
+
+    cfg = algo.cfg
+    env = make(cfg.env_id, num_envs=1, auto_reset=False, reset_mode="reference")
+    logic = _logic(cfg.env_id)
+    params = env.default_params()
+    norm = train_state.normalizer
+
+    @jax.jit
+    def policy(obs):
+        _, n_obs = nrm.normalize_obs(norm, obs, update=False)
+        mean, _ls, _v = algo.net.apply(train_state.params, n_obs)
+        return jnp.clip(mean, -1.0, 1.0)
+
+    vstate, obs = env.reset(jax.random.key(seed), params)
+    frames = []
+    for _ in range(n_steps):
+        one = jax.tree_util.tree_map(lambda x: np.asarray(x)[..., 0]
+                                     if getattr(x, "ndim", 0) else x, vstate.env)
+        frames.append(render_state(logic, one, mode=mode))
+        vstate, obs, reward, done, _ = env.step(vstate, policy(obs), params)
+        if bool(done[0]):
+            break
+    frames = np.stack(frames)
+    np.savez_compressed(path + ".npz", frames=frames, fps=fps)
+    try:
+        from PIL import Image
+
+        imgs = [Image.fromarray(f) for f in frames[:: max(1, fps // 10)]]
+        imgs[0].save(path + ".gif", save_all=True, append_images=imgs[1:],
+                     duration=1000 // 10, loop=0)
+    except Exception:
+        pass
+    return frames

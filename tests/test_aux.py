@@ -1,0 +1,109 @@
+"""Auxiliary subsystems: determinism sanitizer, profiling helpers, sweep
+sampling, eval harness, teleop rendering, gym adapters."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def test_determinism_sanitizer():
+    from gym_puzzles_tpu.utils.profiling import assert_deterministic
+    from gym_puzzles_tpu.api.registry import make
+
+    env = make("MultiRobotPuzzle-v0", num_envs=4)
+    params = env.default_params()
+    vstate, obs = env.reset(jax.random.key(0))
+    a = jax.random.uniform(jax.random.key(1), (4, 6), minval=-1, maxval=1)
+    assert_deterministic(lambda: env.step(vstate, a, params)[1:4])
+
+
+def test_no_nans_long_rollout():
+    """NaN guard: 300 random steps across variants keep finite state."""
+    from gym_puzzles_tpu.api.registry import make
+    from jax import lax
+
+    for env_id in ("MultiRobotPuzzle-v0", "MultiRobotPuzzle-v2"):
+        env = make(env_id, num_envs=8)
+        params = env.default_params()
+        vstate, obs = env.reset(jax.random.key(0))
+        actions = jax.random.uniform(
+            jax.random.key(1), (300, 8, env.cfg.act_dim), minval=-1, maxval=1
+        )
+
+        @jax.jit
+        def run(vs, actions):
+            def f(vs, a):
+                vs, o, r, d, _ = env._step_fn(vs, a, params)
+                return vs, (o, r)
+
+            return lax.scan(f, vs, actions)
+
+        vs, (os_, rs) = run(vstate, actions)
+        assert np.isfinite(np.asarray(os_)).all(), env_id
+        assert np.isfinite(np.asarray(rs)).all(), env_id
+
+
+def test_sweep_sampling():
+    import random
+
+    from gym_puzzles_tpu.train.sweep import SWEEP_SPACE, sample_params, wandb_sweep_config
+
+    hp = sample_params(random.Random(0))
+    assert set(hp) == set(SWEEP_SPACE)
+    assert 1e-5 <= hp["learning_rate"] <= 1e-2
+    cfg = wandb_sweep_config()
+    assert cfg["metric"]["name"] == "rollout/ep_rew_mean"
+
+
+def test_evaluate_policy_smoke():
+    from gym_puzzles_tpu.train.ppo import PPO, PPOConfig
+    from gym_puzzles_tpu.train.evaluate import evaluate_policy
+
+    algo = PPO(PPOConfig(env_id="MultiRobotPuzzle-v0", n_envs=2, n_steps=4,
+                         batch_size=4, n_epochs=1))
+    ts = algo.init_state()
+    mean, std, rets = evaluate_policy(algo, ts, n_episodes=2, max_steps=5)
+    assert len(rets) == 2 and np.isfinite(mean)
+
+
+def test_gym_single_env_adapter():
+    from gym_puzzles_tpu.api.gym_compat import GymPuzzleEnv
+
+    env = GymPuzzleEnv("MultiRobotPuzzle-v3", seed=1)
+    obs = env.reset()
+    assert obs.shape == (27,)
+    obs, r, d, info = env.step(np.zeros(6, np.float32))
+    assert obs.shape == (27,) and isinstance(r, float) and isinstance(d, bool)
+    env.update_params(10, 0.999)
+    env.update_goal(1, 10)
+    env.set_reward_params(agentDelta=5.0)
+    assert float(env._params.weight_delta_agent) == 5.0
+
+
+def test_gymnasium_vector_adapter():
+    from gym_puzzles_tpu.api.gym_compat import GymnasiumVectorAdapter
+
+    env = GymnasiumVectorAdapter("MultiRobotPuzzle-v0", num_envs=3)
+    obs, info = env.reset(seed=0)
+    assert obs.shape == (3, 28)
+    obs, rew, term, trunc, info = env.step(np.zeros((3, 6), np.float32))
+    assert obs.shape == (3, 28) and rew.shape == (3,)
+    assert term.dtype == bool and trunc.dtype == bool
+
+
+def test_teleop_frame_to_ansi():
+    from gym_puzzles_tpu.teleop import frame_to_ansi
+
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[10:20, 10:20] = (255, 0, 0)
+    s = frame_to_ansi(img, cols=32)
+    assert "\x1b[38;2;255;0;0m" in s
+
+
+def test_heartbeat_single_host():
+    from gym_puzzles_tpu.parallel.health import Heartbeat
+
+    hb = Heartbeat(timeout=60.0, interval=1.0)
+    hb.ping()
+    hb.ping()
+    hb.close()
