@@ -25,6 +25,9 @@ from jax import lax
 
 def main(num_envs: int = 4096, chunk: int = 20, iters: int = 5):
     from gym_puzzles_tpu.api.registry import make
+    from gym_puzzles_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     env = make("MultiRobotPuzzle-v0", num_envs=num_envs)
     params = env.default_params()

@@ -27,8 +27,12 @@ def registry_spec(env_id: str) -> EnvConfig:
 
 
 @functools.lru_cache(maxsize=None)
-def _logic(env_id: str):
+def _logic(env_id: str, solver_unroll: bool = False):
+    import dataclasses
+
     cfg = registry_spec(env_id)
+    if solver_unroll:
+        cfg = dataclasses.replace(cfg, solver_unroll=True)
     if cfg.variant == "v0":
         from gym_puzzles_tpu.envs.v0 import V0Env
 
@@ -43,8 +47,10 @@ def _logic(env_id: str):
 
 
 def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
-         reset_mode: str = "fast") -> VectorEnv:
+         reset_mode: str = "fast", solver_unroll: bool = False,
+         batch_axis: int = -1) -> VectorEnv:
     """Build a batched env.  ``reset_mode='reference'`` reproduces the
-    reference's reset-takes-a-random-step contract exactly (00.py:411)."""
-    return VectorEnv(_logic(env_id), num_envs, auto_reset=auto_reset,
-                     reset_mode=reset_mode)
+    reference's reset-takes-a-random-step contract exactly (00.py:411);
+    ``solver_unroll=True`` selects the TPU throughput solver codegen."""
+    return VectorEnv(_logic(env_id, solver_unroll), num_envs, auto_reset=auto_reset,
+                     reset_mode=reset_mode, batch_axis=batch_axis)

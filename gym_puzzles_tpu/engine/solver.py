@@ -30,6 +30,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 from jax import lax
 
@@ -205,45 +206,38 @@ def init_velocity_constraints(
     )
 
 
-def warm_start(table: ShapeTable, vc: VelocityConstraints, vel, omega):
+def warm_start(table: ShapeTable, vc: VelocityConstraints, vel, omega,
+               unroll: bool = False):
     """Apply accumulated impulses (b2ContactSolver::WarmStart), masked to the
     effective point count and to solved pairs.
 
-    Implementation note (here and in the iteration loops below): the pair
-    loop is a `lax.scan` over stacked per-pair data with *dynamic* body
-    index scatter, not a Python unroll -- the unrolled form multiplies the
-    HLO by the pair count and pushes compile time to minutes.  The
-    dependency chain is identical."""
+    The pair loops here and below run through :func:`_foreach_pair`: scan
+    with dynamic indices by default (small HLO, test-friendly), statically
+    unrolled for the TPU throughput path (engine config ``solver_unroll``)."""
     if table.num_pairs == 0:
         return vel, omega
-    ia_all = table.pair_body_a
-    ib_all = table.pair_body_b
-    inv_mass = table.inv_mass  # numpy constants; dynamic gather below
-    inv_inertia = table.inv_inertia
 
-    def body(carry, inputs):
+    def body(carry, row, p):
         vel, omega = carry
-        p_ia, p_ib, n, r_a, r_b, n_imp, t_imp, count, solve = inputs
-        m_a, m_b = _g(inv_mass, p_ia), _g(inv_mass, p_ib)
-        i_a, i_b = _g(inv_inertia, p_ia), _g(inv_inertia, p_ib)
+        n, r_a, r_b, n_imp, t_imp, count, solve = row
+        ia, ib = _g(table.pair_body_a, p), _g(table.pair_body_b, p)
+        m_a, m_b = _g(table.inv_mass, ia), _g(table.inv_mass, ib)
+        i_a, i_b = _g(table.inv_inertia, ia), _g(table.inv_inertia, ib)
         t = jnp.stack([n[1], -n[0]])
         for j in range(2):
             mask = solve & (j < count)
             imp = jnp.where(mask, n_imp[j], 0.0)
             timp = jnp.where(mask, t_imp[j], 0.0)
             impulse = imp * n + timp * t
-            vel = vel.at[p_ia].add(-m_a * impulse)
-            omega = omega.at[p_ia].add(-i_a * m2.cross_vv(r_a[j], impulse))
-            vel = vel.at[p_ib].add(m_b * impulse)
-            omega = omega.at[p_ib].add(i_b * m2.cross_vv(r_b[j], impulse))
-        return (vel, omega), None
+            vel = vel.at[ia].add(-m_a * impulse)
+            omega = omega.at[ia].add(-i_a * m2.cross_vv(r_a[j], impulse))
+            vel = vel.at[ib].add(m_b * impulse)
+            omega = omega.at[ib].add(i_b * m2.cross_vv(r_b[j], impulse))
+        return vel, omega
 
-    (vel, omega), _ = lax.scan(
-        body,
-        (vel, omega),
-        (jnp.asarray(ia_all), jnp.asarray(ib_all), vc.normal, vc.r_a, vc.r_b,
-         vc.normal_impulse, vc.tangent_impulse, vc.count, vc.solve),
-    )
+    xs = (vc.normal, vc.r_a, vc.r_b, vc.normal_impulse, vc.tangent_impulse,
+          vc.count, vc.solve)
+    vel, omega = _foreach_pair(body, (vel, omega), xs, table.num_pairs, unroll)
     return vel, omega
 
 
@@ -256,23 +250,21 @@ def _rel_vel(vel, omega, ia, ib, r_a, r_b):
     )
 
 
-def solve_velocity_constraints(table: ShapeTable, vc: VelocityConstraints, vel, omega, iters: int):
+def solve_velocity_constraints(table: ShapeTable, vc: VelocityConstraints, vel, omega,
+                               iters: int, unroll: bool = False):
     """b2ContactSolver::SolveVelocityConstraints x iters, Gauss-Seidel over
-    the static pair list (lax.scan -- see warm_start note), batched over
-    envs by the caller's vmap."""
+    the static pair list (see warm_start note), batched over envs by the
+    caller's vmap."""
     P = table.num_pairs
     if P == 0:
         return vel, omega, vc
 
-    ia_all = jnp.asarray(table.pair_body_a)
-    ib_all = jnp.asarray(table.pair_body_b)
-    friction_all = jnp.asarray(table.pair_friction)
-    p_all = jnp.arange(P)
-
-    def pair_step(carry, inputs):
+    def pair_step(carry, row, p):
         vel, omega, n_imp_all, t_imp_all = carry
-        (p, ia, ib, friction, n, r_a, r_b, normal_mass, tangent_mass, bias,
-         k11, k12, k22, im11, im12, im22, count, solve) = inputs
+        (n, r_a, r_b, normal_mass, tangent_mass, bias,
+         k11, k12, k22, im11, im12, im22, count, solve) = row
+        ia, ib = _g(table.pair_body_a, p), _g(table.pair_body_b, p)
+        friction = _g(table.pair_friction, p)
         m_a, m_b = _g(table.inv_mass, ia), _g(table.inv_mass, ib)
         i_a, i_b = _g(table.inv_inertia, ia), _g(table.inv_inertia, ib)
         t = jnp.stack([n[1], -n[0]])
@@ -348,15 +340,14 @@ def solve_velocity_constraints(table: ShapeTable, vc: VelocityConstraints, vel, 
         omega = omega.at[ib].add(
             i_b * (m2.cross_vv(r_b[0], p1) + m2.cross_vv(r_b[1], p2))
         )
-        return (vel, omega, n_imp_all, t_imp_all), None
+        return vel, omega, n_imp_all, t_imp_all
 
-    xs = (p_all, ia_all, ib_all, friction_all, vc.normal, vc.r_a, vc.r_b,
+    xs = (vc.normal, vc.r_a, vc.r_b,
           vc.normal_mass, vc.tangent_mass, vc.bias, vc.k11, vc.k12, vc.k22,
           vc.im11, vc.im12, vc.im22, vc.count, vc.solve)
 
     def one_iteration(_, carry):
-        carry, _ = lax.scan(pair_step, carry, xs)
-        return carry
+        return _foreach_pair(pair_step, carry, xs, P, unroll)
 
     vel, omega, n_imp, t_imp = lax.fori_loop(
         0, iters, one_iteration, (vel, omega, vc.normal_impulse, vc.tangent_impulse)
@@ -365,8 +356,33 @@ def solve_velocity_constraints(table: ShapeTable, vc: VelocityConstraints, vel, 
 
 
 def _g(np_const, idx):
-    """Dynamic gather from a small numpy constant table."""
+    """Gather from a small numpy constant table (static python int -> numpy
+    scalar constant; traced index -> dynamic gather)."""
+    if isinstance(idx, (int, np.integer)):
+        return np_const[idx]
     return jnp.asarray(np_const)[idx]
+
+
+def _foreach_pair(body, carry, xs, num_pairs: int, unroll: bool):
+    """Run ``body(carry, xs[p], p) -> carry`` over the pair axis.
+
+    ``unroll=False``: lax.scan with dynamic indices -- small HLO, but on TPU
+    every iteration's gathers/scatters round-trip HBM (memory-latency bound).
+    ``unroll=True``: Python unroll with *static* indices -- ~P x larger HLO
+    and compile time, but XLA fuses the whole iteration into VMEM-resident
+    code, which is what the throughput path needs.
+    """
+    if not unroll:
+        def scan_body(c, row_p):
+            row, p = row_p
+            return body(c, row, p), None
+
+        carry, _ = lax.scan(scan_body, carry, (xs, jnp.arange(num_pairs)))
+        return carry
+    for p in range(num_pairs):
+        row = jax.tree_util.tree_map(lambda x: x[p], xs)
+        carry = body(carry, row, p)
+    return carry
 
 
 def integrate_positions(pos, angle, vel, omega, dt, active):
@@ -393,7 +409,8 @@ def integrate_positions(pos, angle, vel, omega, dt, active):
 
 
 def solve_position_constraints(
-    table: ShapeTable, man: nph.Manifold, pos, angle, iters: int, solve_mask, labels
+    table: ShapeTable, man: nph.Manifold, pos, angle, iters: int, solve_mask, labels,
+    unroll: bool = False,
 ):
     """b2ContactSolver::SolvePositionConstraints x iters with b2Island's
     early exit (minSeparation >= -3*slop) reproduced *per island* via done
@@ -412,13 +429,12 @@ def solve_position_constraints(
     if P == 0:
         return pos, angle, jnp.ones((B,), bool)
 
-    ia_all = jnp.asarray(table.pair_body_a)
-    ib_all = jnp.asarray(table.pair_body_b)
-    lc = jnp.asarray(local_center)
+    lc = local_center  # numpy
 
-    def pair_step(carry, inputs):
+    def pair_step(carry, row, p):
         pos, angle, done, min_sep = carry
-        ia, ib, man_p, isl, solve = inputs
+        man_p, isl, solve = row
+        ia, ib = _g(table.pair_body_a, p), _g(table.pair_body_b, p)
         m_a, m_b = _g(table.inv_mass, ia), _g(table.inv_mass, ib)
         i_a, i_b = _g(table.inv_inertia, ia), _g(table.inv_inertia, ib)
         pair_done = done[isl] | ~solve
@@ -427,8 +443,8 @@ def solve_position_constraints(
             track = (j < man_p.count) & solve
             q_a = m2.rot(angle[ia])
             q_b = m2.rot(angle[ib])
-            org_a = pos[ia] - m2.rot_vec(q_a, lc[ia])
-            org_b = pos[ib] - m2.rot_vec(q_b, lc[ib])
+            org_a = pos[ia] - m2.rot_vec(q_a, _g(lc, ia))
+            org_b = pos[ib] - m2.rot_vec(q_b, _g(lc, ib))
             normal, point, separation = nph.position_solver_manifold(
                 man_p, org_a, q_a, org_b, q_b, j
             )
@@ -447,15 +463,17 @@ def solve_position_constraints(
             angle = angle.at[ia].add(-i_a * m2.cross_vv(r_a, pimp))
             pos = pos.at[ib].add(m_b * pimp)
             angle = angle.at[ib].add(i_b * m2.cross_vv(r_b, pimp))
-        return (pos, angle, done, min_sep), None
+        return pos, angle, done, min_sep
 
     def one_iteration(_, carry):
         pos, angle, done = carry
         min_sep = jnp.zeros((B,))
-        (pos, angle, done, min_sep), _ = lax.scan(
+        pos, angle, done, min_sep = _foreach_pair(
             pair_step,
             (pos, angle, done, min_sep),
-            (ia_all, ib_all, man, pair_island, solve_mask),
+            (man, pair_island, solve_mask),
+            P,
+            unroll,
         )
         done = done | (min_sep >= -3.0 * LINEAR_SLOP)
         return pos, angle, done

@@ -139,6 +139,7 @@ def step(
     dt: float,
     velocity_iters: int,
     position_iters: int,
+    solver_unroll: bool = False,
 ):
     """One physics tick for a single env.
 
@@ -194,9 +195,9 @@ def step(
         vc = slv.init_velocity_constraints(
             table, man, bodies.pos, bodies.angle, vel, omega, matched_n, matched_t, active
         )
-        vel, omega = slv.warm_start(table, vc, vel, omega)
+        vel, omega = slv.warm_start(table, vc, vel, omega, solver_unroll)
         vel, omega, vc = slv.solve_velocity_constraints(
-            table, vc, vel, omega, velocity_iters
+            table, vc, vel, omega, velocity_iters, solver_unroll
         )
 
     with jax.named_scope("position_solve"):
@@ -204,7 +205,7 @@ def step(
             bodies.pos, bodies.angle, vel, omega, dt, active
         )
         pos, angle, pos_solved = slv.solve_position_constraints(
-            table, man, pos, angle, position_iters, vc.solve, labels
+            table, man, pos, angle, position_iters, vc.solve, labels, solver_unroll
         )
 
     # -- sleep bookkeeping (zeroes velocities of islands at rest) ----------

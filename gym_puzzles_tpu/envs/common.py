@@ -80,7 +80,7 @@ def physics(layout: WorldLayout, cfg, bodies: Bodies, contacts: Contacts,
     (00.py:413-428)."""
     bodies, contacts, info = eng.step(
         layout.table, bodies, contacts, force, torque, wake,
-        cfg.dt, cfg.velocity_iters, cfg.position_iters,
+        cfg.dt, cfg.velocity_iters, cfg.position_iters, cfg.solver_unroll,
     )
     goal_contact, wall_contact = update_contact_flags(layout, info, goal_contact, wall_contact)
     no_wake = jnp.zeros_like(wake)
@@ -88,7 +88,7 @@ def physics(layout: WorldLayout, cfg, bodies: Bodies, contacts: Contacts,
         bodies, contacts, info = eng.step(
             layout.table, bodies, contacts,
             jnp.zeros_like(force), jnp.zeros_like(torque), no_wake,
-            cfg.dt, cfg.velocity_iters, cfg.position_iters,
+            cfg.dt, cfg.velocity_iters, cfg.position_iters, cfg.solver_unroll,
         )
         goal_contact, wall_contact = update_contact_flags(
             layout, info, goal_contact, wall_contact

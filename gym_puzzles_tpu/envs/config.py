@@ -95,6 +95,9 @@ class EnvConfig:
     dt: float = DT
     velocity_iters: int = VELOCITY_ITERS
     position_iters: int = POSITION_ITERS
+    # statically unroll the solver's pair loops (TPU throughput path: bigger
+    # HLO/compile, VMEM-resident fused iterations; see engine/solver.py)
+    solver_unroll: bool = False
 
 
 @struct.dataclass
