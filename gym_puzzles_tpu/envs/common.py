@@ -109,8 +109,28 @@ def block_world_vertices(layout: WorldLayout, bodies: Bodies):
 
 
 def centers(layout: WorldLayout, bodies: Bodies):
-    """(block_center [2], agent_centers [A,2]) world COM."""
-    return bodies.pos[layout.block_slot], bodies.pos[jnp.asarray(layout.agent_slots)]
+    """(block_center [2], agent_centers [A,2]) world COM.
+
+    Agents occupy the contiguous trailing slots, so this is a static slice
+    (array-index gathers/scatters lower to XLA gather/scatter ops that wreck
+    TPU fusion -- a single one in the step costs more than the entire
+    physics solve, measured)."""
+    a0 = int(layout.agent_slots[0])
+    return bodies.pos[layout.block_slot], bodies.pos[a0:a0 + layout.num_agents]
+
+
+def set_agent_rows(layout: WorldLayout, full, agent_rows):
+    """Replace the agent rows of a [B, ...] array via slice+concat (never
+    scatter -- see centers)."""
+    a0 = int(layout.agent_slots[0])
+    return jnp.concatenate([full[:a0], agent_rows], axis=0)
+
+
+def body_rows(layout: WorldLayout, block_row, agent_rows, extra_shape=()):
+    """Assemble a per-body array: zeros for walls, given block row, given
+    agent rows.  Shapes: block_row [...], agent_rows [A, ...]."""
+    zeros = jnp.zeros((layout.block_slot,) + extra_shape, F)
+    return jnp.concatenate([zeros, block_row[None], agent_rows], axis=0)
 
 
 def uniform(key, lo, hi, shape=()):

@@ -126,9 +126,12 @@ class RewardParams:
 
     @staticmethod
     def default(variant: str) -> "RewardParams":
-        import jax.numpy as jnp
-
-        f = lambda x: jnp.asarray(x, jnp.float32)
+        # numpy leaves, deliberately: these params are closed over by jitted
+        # step functions, and numpy constants embed as HLO literals.  A
+        # captured *device* array becomes a runtime-bound executable
+        # parameter, which on the tunneled TPU stalls every execution
+        # (~200ms/call, measured) -- see README performance notes.
+        f = lambda x: np.float32(x)
         if variant == "v0":
             w = dict(agent_delta=10.0, agent_dist=0.1, block_delta=50.0, block_dist=0.025,
                      comp=10000.0, oob=1000.0, blk_oob=100.0, eps=V0_EPSILON)

@@ -80,9 +80,8 @@ class V0Env(PuzzleEnvLogic):
         omega_set = a[:, 2]
 
         bodies = state.bodies
-        slots = lay.agent_slots  # numpy, static
-        vel = bodies.vel.at[slots].set(vel_set)
-        omega = bodies.omega.at[slots].set(omega_set)
+        vel = cm.set_agent_rows(lay, bodies.vel, vel_set)
+        omega = cm.set_agent_rows(lay, bodies.omega, omega_set)
 
         # soft force: per agent, 1.1^(-agent_dist) along the Chebyshev unit
         # vector agent->block, accumulated on the block (quirks #3, #9)
@@ -91,16 +90,17 @@ class V0Env(PuzzleEnvLogic):
         unit = cm.chebyshev_unit(ac, bc[None])  # [A, 2]
         block_force = (mag[:, None] * unit).sum(axis=0)
 
-        B = lay.table.num_bodies
-        force = jnp.zeros((B, 2), F).at[lay.block_slot].set(block_force)
-        torque = jnp.zeros((B,), F)
+        A = self.cfg.num_agents
+        force = cm.body_rows(lay, block_force, jnp.zeros((A, 2), F), extra_shape=(2,))
+        torque = jnp.zeros((lay.table.num_bodies,), F)
 
         # wakes: SetLinearVelocity/SetAngularVelocity wake on nonzero value;
         # ApplyForce(wake=True) always wakes the block.
         agent_wake = (vel_set**2).sum(-1) > 0.0
         agent_wake = agent_wake | (omega_set**2 > 0.0)
-        wake = jnp.zeros((B,), bool).at[slots].set(agent_wake).at[lay.block_slot].set(True)
-
+        wake = jnp.concatenate(
+            [jnp.zeros((4,), bool), jnp.ones((1,), bool), agent_wake]
+        )
         return bodies.replace(vel=vel, omega=omega), force, torque, wake
 
     # -- obs + reward + done (00.py:438-521) --------------------------------

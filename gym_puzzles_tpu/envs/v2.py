@@ -90,8 +90,10 @@ class V2Env(PuzzleEnvLogic):
         turn, vel_cmd = a[:, 0], a[:, 1]
 
         bodies = state.bodies
-        slots = lay.agent_slots
-        q = m2.rot(bodies.angle[slots])  # [A, 2]
+        slots = lay.agent_slots  # numpy, for static table lookups only
+        a0 = int(slots[0])
+        sl = slice(a0, a0 + A)
+        q = m2.rot(bodies.angle[sl])  # [A, 2]
 
         # forward force f = R*(0,1)*vel*FORCE applied at R*(0,2) offset from
         # the COM -- parallel to the offset, so zero torque (02.py:449-454)
@@ -101,14 +103,14 @@ class V2Env(PuzzleEnvLogic):
         # lateral friction impulse: v -= dot(right, v) * right
         # (ApplyLinearImpulse at the COM changes v immediately, 02.py:116-122)
         right = m2.rot_vec(q, jnp.broadcast_to(jnp.array([1.0, 0.0], F), (A, 2)))
-        v_a = bodies.vel[slots]
+        v_a = bodies.vel[sl]
         lat = m2.dot(right, v_a)[:, None] * right
         v_a = v_a - lat
 
         # ApplyAngularImpulse(0.1 * inertia * w): w += invI * 0.1 * I_origin * w.
         # v2 agents have localCenter=(0,0) so this is w *= 1.1 -- it PUMPS
         # spin (02.py:456, quirk #8 part 1)
-        w_a = bodies.omega[slots]
+        w_a = bodies.omega[sl]
         i_origin = lay.table.inertia_com[slots] + lay.table.mass[slots] * (
             lay.table.local_center[slots] ** 2
         ).sum(-1)
@@ -129,14 +131,15 @@ class V2Env(PuzzleEnvLogic):
         unit = cm.chebyshev_unit(ac, bc[None])
         block_force = (mag[:, None] * unit).sum(axis=0)
 
-        B = lay.table.num_bodies
-        force = jnp.zeros((B, 2), F).at[slots].set(f_agent).at[lay.block_slot].set(block_force)
-        torque = jnp.zeros((B,), F).at[slots].set(t_agent)
-        vel = bodies.vel.at[slots].set(v_a)
-        omega = bodies.omega.at[slots].set(w_a)
+        force = cm.body_rows(lay, block_force, f_agent, extra_shape=(2,))
+        torque = cm.body_rows(lay, jnp.asarray(0.0, F), t_agent)
+        vel = cm.set_agent_rows(lay, bodies.vel, v_a)
+        omega = cm.set_agent_rows(lay, bodies.omega, w_a)
 
         # every agent gets ApplyForce/Impulse with wake=True; block likewise
-        wake = jnp.zeros((B,), bool).at[slots].set(True).at[lay.block_slot].set(True)
+        wake = jnp.concatenate(
+            [jnp.zeros((4,), bool), jnp.ones((1 + A,), bool)]
+        )
         return bodies.replace(vel=vel, omega=omega), force, torque, wake
 
     # -- obs + reward + done (02.py:488-584) --------------------------------
@@ -144,18 +147,19 @@ class V2Env(PuzzleEnvLogic):
                block_angle, params):
         lay = self.layout
         bc, ac = cm.centers(lay, bodies)
-        slots = lay.agent_slots
+        a0 = int(lay.agent_slots[0])
+        sl = slice(a0, a0 + self.cfg.num_agents)
 
         a_xy = ac * RATIO
         b_xy = bc * RATIO
-        a_vel = bodies.vel[slots]
+        a_vel = bodies.vel[sl]
         agent_obs = jnp.concatenate(
             [
                 a_xy,
-                norm_angle(bodies.angle[slots])[:, None],
+                norm_angle(bodies.angle[sl])[:, None],
                 a_xy - b_xy[None],
                 a_vel,
-                bodies.omega[slots][:, None],
+                bodies.omega[sl][:, None],
                 agent_dist[:, None],
             ],
             axis=1,

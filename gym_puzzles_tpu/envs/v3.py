@@ -80,8 +80,9 @@ class V3Env(PuzzleEnvLogic):
     def _distances(self, bodies, goal_pos):
         lay = self.layout
         bc, ac = cm.centers(lay, bodies)
+        a0 = int(lay.agent_slots[0])
         bx, by, _ = self._norm_pose(bc, bodies.angle[lay.block_slot])
-        axx, ayy, _ = self._norm_pose(ac, bodies.angle[lay.agent_slots])
+        axx, ayy, _ = self._norm_pose(ac, bodies.angle[a0:a0 + lay.num_agents])
         agent_dist = jnp.sqrt((axx - bx) ** 2 + (ayy - by) ** 2)
         block_distance = jnp.sqrt((goal_pos[0] - bx) ** 2 + (goal_pos[1] - by) ** 2)
         brot = jnp.mod(bodies.angle[lay.block_slot], 2.0 * np.pi)
@@ -97,21 +98,21 @@ class V3Env(PuzzleEnvLogic):
         omega_set = a[:, 2]
 
         bodies = state.bodies
-        slots = lay.agent_slots
-        vel = bodies.vel.at[slots].set(vel_set)
-        omega = bodies.omega.at[slots].set(omega_set)
+        vel = cm.set_agent_rows(lay, bodies.vel, vel_set)
+        omega = cm.set_agent_rows(lay, bodies.omega, omega_set)
 
         bc, ac = cm.centers(lay, bodies)
         mag = 1.1 ** (-state.agent_dist)
         unit = cm.chebyshev_unit(ac, bc[None])
         block_force = (mag[:, None] * unit).sum(axis=0)
 
-        B = lay.table.num_bodies
-        force = jnp.zeros((B, 2), F).at[lay.block_slot].set(block_force)
-        torque = jnp.zeros((B,), F)
+        force = cm.body_rows(lay, block_force, jnp.zeros((A, 2), F), extra_shape=(2,))
+        torque = jnp.zeros((lay.table.num_bodies,), F)
 
         agent_wake = ((vel_set**2).sum(-1) > 0.0) | (omega_set**2 > 0.0)
-        wake = jnp.zeros((B,), bool).at[slots].set(agent_wake).at[lay.block_slot].set(True)
+        wake = jnp.concatenate(
+            [jnp.zeros((4,), bool), jnp.ones((1,), bool), agent_wake]
+        )
         return bodies.replace(vel=vel, omega=omega), force, torque, wake
 
     # -- obs + reward + done (core.py:297-414) ------------------------------
@@ -119,8 +120,9 @@ class V3Env(PuzzleEnvLogic):
                block_angle, params):
         lay = self.layout
         bc, ac = cm.centers(lay, bodies)
+        a0 = int(lay.agent_slots[0])
         bx, by, brot = self._norm_pose(bc, bodies.angle[lay.block_slot])
-        axx, ayy, arot = self._norm_pose(ac, bodies.angle[lay.agent_slots])
+        axx, ayy, arot = self._norm_pose(ac, bodies.angle[a0:a0 + lay.num_agents])
 
         agent_obs = jnp.stack(
             [bx - axx, by - ayy, arot, goal_contact.astype(F)], axis=1

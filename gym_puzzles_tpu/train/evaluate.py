@@ -29,10 +29,13 @@ def evaluate_policy(algo, train_state, n_episodes: int = 10, deterministic: bool
     norm = train_state.normalizer
     max_steps = max_steps or env.cfg.max_episode_steps
 
+    # net params / normalizer are device arrays: pass as jit ARGS, never
+    # close over them (captured device constants stall every execution on
+    # the tunneled TPU)
     @jax.jit
-    def policy(obs, key):
-        _, n_obs = nrm.normalize_obs(norm, obs, update=False)
-        mean, log_std, _v = net.apply(train_state.params, n_obs)
+    def policy(net_params, norm_st, obs, key):
+        _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+        mean, log_std, _v = net.apply(net_params, n_obs)
         if deterministic:
             return jnp.clip(mean, -1.0, 1.0)
         noise = jax.random.normal(key, mean.shape)
@@ -46,7 +49,7 @@ def evaluate_policy(algo, train_state, n_episodes: int = 10, deterministic: bool
         total = 0.0
         for _t in range(max_steps):
             key, ka = jax.random.split(key)
-            action = policy(obs, ka)
+            action = policy(train_state.params, norm, obs, ka)
             vstate, obs, reward, done, _ = env.step(vstate, action, params)
             total += float(reward[0])
             if bool(done[0]):
@@ -70,9 +73,9 @@ def record_video(algo, train_state, path: str, n_steps: int = 300, seed: int = 0
     norm = train_state.normalizer
 
     @jax.jit
-    def policy(obs):
-        _, n_obs = nrm.normalize_obs(norm, obs, update=False)
-        mean, _ls, _v = algo.net.apply(train_state.params, n_obs)
+    def policy(net_params, norm_st, obs):
+        _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+        mean, _ls, _v = algo.net.apply(net_params, n_obs)
         return jnp.clip(mean, -1.0, 1.0)
 
     vstate, obs = env.reset(jax.random.key(seed), params)
@@ -81,7 +84,9 @@ def record_video(algo, train_state, path: str, n_steps: int = 300, seed: int = 0
         one = jax.tree_util.tree_map(lambda x: np.asarray(x)[..., 0]
                                      if getattr(x, "ndim", 0) else x, vstate.env)
         frames.append(render_state(logic, one, mode=mode))
-        vstate, obs, reward, done, _ = env.step(vstate, policy(obs), params)
+        vstate, obs, reward, done, _ = env.step(
+            vstate, policy(train_state.params, norm, obs), params
+        )
         if bool(done[0]):
             break
     frames = np.stack(frames)
