@@ -49,14 +49,17 @@ def main(num_envs: int = 4096, chunk: int = 20, iters: int = 5):
         return vs, rs.sum(), ds.sum()
 
     t0 = time.time()
-    vstate, _, _ = jax.block_until_ready(rollout_chunk(vstate, actions))
+    vstate, rsum, _ = rollout_chunk(vstate, actions)
+    float(rsum)  # device_get: the only sync that truly waits on this runtime
     compile_s = time.time() - t0
     print(f"# compile+first chunk: {compile_s:.1f}s", file=sys.stderr)
 
     best = 0.0
     for _ in range(iters):
         t0 = time.time()
-        vstate, rsum, dsum = jax.block_until_ready(rollout_chunk(vstate, actions))
+        vstate, rsum, dsum = rollout_chunk(vstate, actions)
+        float(rsum)  # force completion; block_until_ready alone can return
+        # before remote execution finishes on the tunneled TPU runtime
         dt = time.time() - t0
         rate = chunk * num_envs / dt
         best = max(best, rate)

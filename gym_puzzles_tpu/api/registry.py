@@ -48,9 +48,10 @@ def _logic(env_id: str, solver_unroll: bool = False):
 
 def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
          reset_mode: str = "fast", solver_unroll: bool = False,
-         batch_axis: int = -1) -> VectorEnv:
+         batch_axis: int = -1, backend: str = "xla") -> VectorEnv:
     """Build a batched env.  ``reset_mode='reference'`` reproduces the
-    reference's reset-takes-a-random-step contract exactly (00.py:411);
-    ``solver_unroll=True`` selects the TPU throughput solver codegen."""
+    reference's reset-takes-a-random-step contract exactly (00.py:411).
+    ``backend='pallas'`` runs the contact solve in the VMEM-resident TPU
+    kernel (the throughput path; requires num_envs % 128 == 0)."""
     return VectorEnv(_logic(env_id, solver_unroll), num_envs, auto_reset=auto_reset,
-                     reset_mode=reset_mode, batch_axis=batch_axis)
+                     reset_mode=reset_mode, batch_axis=batch_axis, backend=backend)

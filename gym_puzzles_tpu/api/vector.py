@@ -59,15 +59,21 @@ class VectorEnv:
     """
 
     def __init__(self, logic: PuzzleEnvLogic, num_envs: int, auto_reset: bool = True,
-                 reset_mode: str = "fast", batch_axis: int = -1):
+                 reset_mode: str = "fast", batch_axis: int = -1,
+                 backend: str = "xla"):
         assert reset_mode in ("fast", "reference")
         assert batch_axis in (0, -1)
+        assert backend in ("xla", "pallas")
+        if backend == "pallas":
+            assert batch_axis == -1, "pallas backend requires lane-major layout"
+            assert num_envs % 128 == 0, "pallas backend needs num_envs % 128 == 0"
         self.logic = logic
         self.cfg = logic.cfg
         self.num_envs = num_envs
         self.auto_reset = auto_reset
         self.reset_mode = reset_mode
         self.batch_axis = batch_axis
+        self.backend = backend
         ax = batch_axis
 
         reset_one = logic.reset if reset_mode == "reference" else logic.reset_fast
@@ -87,9 +93,14 @@ class VectorEnv:
         @jax.jit
         def _step(vstate, action, params):
             act = action.T if ax == -1 else action  # user passes [E, act_dim]
-            state, obs, reward, done, info = jax.vmap(
-                logic.step, in_axes=(ax, ax, None), out_axes=ax
-            )(vstate.env, act, params)
+            if backend == "pallas":
+                state, obs, reward, done, info = logic.step_batched(
+                    vstate.env, act, params
+                )
+            else:
+                state, obs, reward, done, info = jax.vmap(
+                    logic.step, in_axes=(ax, ax, None), out_axes=ax
+                )(vstate.env, act, params)
             key = vstate.key
             if auto_reset:
                 next_keys, reset_keys = jax.vmap(jax.random.split, out_axes=1)(key)

@@ -438,13 +438,16 @@ def solve_position_constraints(
         m_a, m_b = _g(table.inv_mass, ia), _g(table.inv_mass, ib)
         i_a, i_b = _g(table.inv_inertia, ia), _g(table.inv_inertia, ib)
         pair_done = done[isl] | ~solve
+        # b2ContactSolver computes the transforms ONCE per contact; point 1
+        # reuses the pre-point-0 transform (only the centers cA/aA-derived
+        # lever arms see the updated positions)
+        q_a = m2.rot(angle[ia])
+        q_b = m2.rot(angle[ib])
+        org_a = pos[ia] - m2.rot_vec(q_a, _g(lc, ia))
+        org_b = pos[ib] - m2.rot_vec(q_b, _g(lc, ib))
         for j in range(2):
             active = (j < man_p.count) & ~pair_done
             track = (j < man_p.count) & solve
-            q_a = m2.rot(angle[ia])
-            q_b = m2.rot(angle[ib])
-            org_a = pos[ia] - m2.rot_vec(q_a, _g(lc, ia))
-            org_b = pos[ib] - m2.rot_vec(q_b, _g(lc, ib))
             normal, point, separation = nph.position_solver_manifold(
                 man_p, org_a, q_a, org_b, q_b, j
             )

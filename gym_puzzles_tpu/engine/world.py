@@ -232,3 +232,102 @@ def step(
         pos=pos, angle=angle, vel=vel, omega=omega, awake=awake, sleep_time=sleep_time
     )
     return new_bodies, new_contacts, StepInfo(touching=touching, begin=begin, end=end)
+
+
+def step_batched(
+    table: ShapeTable,
+    bodies: Bodies,
+    contacts: Contacts,
+    force,
+    torque,
+    wake,
+    dt: float,
+    velocity_iters: int,
+    position_iters: int,
+):
+    """Batched engine tick with the Pallas contact-solve kernel.
+
+    All pytree leaves carry the env batch on the LAST axis (lane-major).
+    The narrow phase / islands / sleep logic run as vmapped straight-line
+    XLA (cheap, one HBM pass); the sequential solver -- the HBM-bound part
+    in pure XLA -- runs inside one VMEM-resident kernel
+    (engine/solver_pallas.py).  Semantics identical to :func:`step`.
+    """
+    from gym_puzzles_tpu.engine import solver_pallas as slp
+
+    dyn = ~table.is_static
+    vm = lambda f, *a: jax.vmap(f, in_axes=-1, out_axes=-1)(*a)
+
+    awake = bodies.awake | wake
+    sleep_time = jnp.where(wake & ~bodies.awake, 0.0, bodies.sleep_time)
+
+    man_new = jax.vmap(lambda b: collide_all(table, b), in_axes=-1, out_axes=-1)(bodies)
+    awake_eff = awake | jnp.asarray(table.is_static)[:, None]
+    upd = awake_eff[table.pair_body_a] | awake_eff[table.pair_body_b]  # [P, E]
+
+    def _sel_b(x, y):  # leaves [P, ..., E]; mask [P, E]
+        m = upd.reshape((upd.shape[0],) + (1,) * (x.ndim - 2) + (upd.shape[1],))
+        return jnp.where(m, x, y)
+
+    man = jax.tree_util.tree_map(_sel_b, man_new, contacts.man)
+    touching = jnp.where(upd, man_new.count > 0, contacts.touching)
+    begin = upd & touching & ~contacts.touching
+    end = upd & ~touching & contacts.touching
+
+    match2 = jax.vmap(jax.vmap(nph.match_impulses), in_axes=-1, out_axes=-1)
+    matched_n, matched_t = match2(
+        man_new.ids, contacts.man.ids, contacts.normal_impulse, contacts.tangent_impulse
+    )
+    matched_n = jnp.where(upd[:, None], matched_n, contacts.normal_impulse)
+    matched_t = jnp.where(upd[:, None], matched_t, contacts.tangent_impulse)
+
+    labels = jax.vmap(lambda t: slv.compute_islands(table, t), in_axes=-1, out_axes=-1)(
+        touching
+    )
+    awake, sleep_time = jax.vmap(
+        lambda l, a, s: slv.propagate_wake(table, l, a, s), in_axes=-1, out_axes=-1
+    )(labels, awake, sleep_time)
+    active = awake & jnp.asarray(dyn)[:, None]
+
+    vel_i = bodies.vel + dt * table.inv_mass[:, None, None] * force
+    omega_i = bodies.omega + dt * table.inv_inertia[:, None] * torque
+    lin_k = np.clip(1.0 - dt * table.linear_damping, 0.0, 1.0).astype(np.float32)
+    ang_k = np.clip(1.0 - dt * table.angular_damping, 0.0, 1.0).astype(np.float32)
+    vel = jnp.where(active[:, None], vel_i * lin_k[:, None, None], bodies.vel)
+    omega = jnp.where(active, omega_i * ang_k[:, None], bodies.omega)
+
+    vc = jax.vmap(
+        lambda m, p, a, v, o, mn, mt, act: slv.init_velocity_constraints(
+            table, m, p, a, v, o, mn, mt, act
+        ),
+        in_axes=-1,
+        out_axes=-1,
+    )(man, bodies.pos, bodies.angle, vel, omega, matched_n, matched_t, active)
+
+    both_dyn = (dyn[table.pair_body_a] & dyn[table.pair_body_b])  # numpy [P]
+    link = touching & jnp.asarray(both_dyn)[:, None]
+
+    vel, omega, pos, angle, n_imp, t_imp, pos_solved = slp.solve_contacts(
+        table, vc, man, bodies.pos, bodies.angle, vel, omega, active, link,
+        float(dt), int(velocity_iters), int(position_iters),
+    )
+
+    awake, sleep_time, vel, omega = jax.vmap(
+        lambda l, a, s, v, o, ps: slv.update_sleep(table, l, a, s, v, o, dt, ps),
+        in_axes=-1,
+        out_axes=-1,
+    )(labels, awake, sleep_time, vel, omega, pos_solved)
+
+    slot = jnp.arange(2)[None, :, None]
+    live = vc.solve[:, None, :] & (slot < vc.count[:, None, :])
+    stored_n = jnp.where(live, n_imp, matched_n)
+    stored_t = jnp.where(live, t_imp, matched_t)
+
+    new_contacts = Contacts(
+        man=man, normal_impulse=stored_n, tangent_impulse=stored_t, touching=touching
+    )
+    new_bodies = Bodies(
+        pos=pos, angle=angle, vel=vel, omega=omega, awake=awake, sleep_time=sleep_time
+    )
+    del vm
+    return new_bodies, new_contacts, StepInfo(touching=touching, begin=begin, end=end)

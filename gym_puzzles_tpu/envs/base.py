@@ -129,6 +129,27 @@ class PuzzleEnvLogic:
             self.layout, self.cfg, bodies, state.contacts, force, torque, wake,
             state.goal_contact, state.wall_contact,
         )
+        return self._finish(state, bodies, contacts, goal_contact, wall_contact, params)
+
+    def step_batched(self, state: cm.EnvState, action, params: RewardParams):
+        """Batched step (env batch on the TRAILING axis of every leaf) using
+        the Pallas contact-solve kernel for the physics.  Same semantics as
+        vmap(step); used by VectorEnv(backend='pallas')."""
+        action = jnp.asarray(action, F)  # [act_dim, E]
+        bodies, force, torque, wake = jax.vmap(
+            self._control, in_axes=(-1, -1), out_axes=-1
+        )(state, action)
+        bodies, contacts, goal_contact, wall_contact = cm.physics_batched(
+            self.layout, self.cfg, bodies, state.contacts, force, torque, wake,
+            state.goal_contact, state.wall_contact,
+        )
+        return jax.vmap(
+            self._finish, in_axes=(-1, -1, -1, -1, -1, None), out_axes=-1
+        )(state, bodies, contacts, goal_contact, wall_contact, params)
+
+    def _finish(self, state, bodies, contacts, goal_contact, wall_contact,
+                params: RewardParams):
+        """Post-physics: distances, obs, reward, termination, state assembly."""
         agent_dist, block_distance, block_angle = self._distances(bodies, state.goal_pos)
         obs, reward, done, done_status, blks = self._score(
             state, bodies, goal_contact, agent_dist, block_distance, block_angle, params

@@ -135,3 +135,28 @@ def body_rows(layout: WorldLayout, block_row, agent_rows, extra_shape=()):
 
 def uniform(key, lo, hi, shape=()):
     return jax.random.uniform(key, shape, F, minval=lo, maxval=hi)
+
+
+def physics_batched(layout: WorldLayout, cfg, bodies, contacts,
+                    force, torque, wake, goal_contact, wall_contact):
+    """Batched (trailing-env-axis) physics via the Pallas solver kernel;
+    semantics identical to :func:`physics` under vmap."""
+    import jax
+
+    flags = jax.vmap(
+        update_contact_flags, in_axes=(None, -1, -1, -1), out_axes=-1
+    )
+    bodies, contacts, info = eng.step_batched(
+        layout.table, bodies, contacts, force, torque, wake,
+        cfg.dt, cfg.velocity_iters, cfg.position_iters,
+    )
+    goal_contact, wall_contact = flags(layout, info, goal_contact, wall_contact)
+    no_wake = jnp.zeros_like(wake)
+    for _ in range(cfg.frameskip - 1):
+        bodies, contacts, info = eng.step_batched(
+            layout.table, bodies, contacts,
+            jnp.zeros_like(force), jnp.zeros_like(torque), no_wake,
+            cfg.dt, cfg.velocity_iters, cfg.position_iters,
+        )
+        goal_contact, wall_contact = flags(layout, info, goal_contact, wall_contact)
+    return bodies, contacts, goal_contact, wall_contact
