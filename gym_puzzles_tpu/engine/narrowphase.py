@@ -84,8 +84,14 @@ def _max_separation(verts1, normals1, count1, p1, q1, verts2, count2, p2, q2):
     n = m2.rot_vec(q, normals1)  # [V, 2] poly1 normals in poly2 frame
     v1 = m2.rot_vec(q, verts1) + p  # [V, 2] poly1 verts in poly2 frame
 
-    # s_i = min_j dot(n_i, verts2_j - v1_i)
-    d = n @ verts2.T  # [V, V]: dot(n_i, verts2_j)
+    # s_i = min_j dot(n_i, verts2_j - v1_i).  Written as explicit
+    # elementwise broadcasting, NOT a matmul: under the env-batch vmap a
+    # [V,V] dot becomes millions of tiny batched MXU matmuls, which
+    # dominated the whole step (measured ~16 ms at 4096 envs on v5e).
+    d = (
+        n[:, 0][:, None] * verts2[:, 0][None, :]
+        + n[:, 1][:, None] * verts2[:, 1][None, :]
+    )  # [V, V]: dot(n_i, verts2_j)
     d = jnp.where(_vert_mask(count2)[None, :], d, jnp.inf)
     s = d.min(axis=1) - m2.dot(n, v1)
     s = jnp.where(_vert_mask(count1), s, -jnp.inf)
@@ -97,7 +103,7 @@ def _incident_edge(normals1, edge1, q1, verts2, normals2, count2, p2, q2):
     """b2FindIncidentEdge: endpoints (world) and indices of poly2's edge most
     anti-parallel to poly1's reference edge."""
     normal1 = m2.rot_vec_t(q2, m2.rot_vec(q1, normals1[edge1]))  # in poly2 frame
-    dots = normals2 @ normal1
+    dots = normals2[:, 0] * normal1[0] + normals2[:, 1] * normal1[1]
     dots = jnp.where(_vert_mask(count2), dots, jnp.inf)
     i1 = jnp.argmin(dots).astype(jnp.int32)
     i2 = jnp.where(i1 + 1 < count2, i1 + 1, 0).astype(jnp.int32)
@@ -205,7 +211,7 @@ def collide_polygons(
     clip2, ids2, ok2 = _clip_segment(clip1, ids1, tangent, side_offset2, iv2)
 
     # Final separation filter with slot compaction (pointCount++ per pass).
-    seps = clip2 @ normal - front_offset
+    seps = clip2[:, 0] * normal[0] + clip2[:, 1] * normal[1] - front_offset
     keep = seps <= TOTAL_RADIUS
     local_points = m2.xf_vec_t(p2, q2, clip2)  # incident-body local frame
     out_ids = jnp.where(flip, flip_id(ids2), ids2)

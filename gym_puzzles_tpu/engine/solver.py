@@ -84,23 +84,30 @@ def compute_islands(table: ShapeTable, touching):
 
     Returns integer labels [B]: min body index in the component; static
     bodies keep their own index.
-    """
+
+    Implemented as statically-unrolled min-propagation over the pair list
+    (no adjacency matrix, no scatters: XLA scatters serialize on TPU and
+    cost milliseconds at batch)."""
     B = table.num_bodies
     dyn = ~table.is_static  # numpy [B]
-    # adjacency via static pair indices
-    adj = jnp.zeros((B, B), bool)
     both_dyn = dyn[table.pair_body_a] & dyn[table.pair_body_b]  # numpy [P]
-    link = touching & jnp.asarray(both_dyn)
-    adj = adj.at[table.pair_body_a, table.pair_body_b].max(link)
-    adj = adj.at[table.pair_body_b, table.pair_body_a].max(link)
+    links = [
+        (int(table.pair_body_a[p]), int(table.pair_body_b[p]), p)
+        for p in range(table.num_pairs)
+        if both_dyn[p]
+    ]
 
-    labels = jnp.arange(B)
-
-    def body(_, labels):
-        neigh = jnp.where(adj, labels[None, :], B)  # [B, B]
-        return jnp.minimum(labels, neigh.min(axis=1))
-
-    return lax.fori_loop(0, B, body, labels)
+    labels = list(jnp.arange(B, dtype=jnp.int32))
+    # diameter <= number of dynamic bodies; each round is a full in-order
+    # sweep so convergence is fast, but bound by B for exactness
+    rounds = int(dyn.sum())
+    for _ in range(max(1, rounds)):
+        for ia, ib, p in links:
+            lnk = touching[p]
+            m = jnp.minimum(labels[ia], labels[ib])
+            labels[ia] = jnp.where(lnk, m, labels[ia])
+            labels[ib] = jnp.where(lnk, m, labels[ib])
+    return jnp.stack(labels)
 
 
 def propagate_wake(table: ShapeTable, labels, awake, sleep_time):
