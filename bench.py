@@ -23,13 +23,15 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def main(num_envs: int = 4096, chunk: int = 20, iters: int = 5):
+def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5):
     from gym_puzzles_tpu.api.registry import make
     from gym_puzzles_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
 
-    env = make("MultiRobotPuzzle-v0", num_envs=num_envs)
+    # the Pallas (VMEM-resident solver) backend is the TPU throughput path
+    backend = "pallas" if num_envs % 128 == 0 else "xla"
+    env = make("MultiRobotPuzzle-v0", num_envs=num_envs, backend=backend)
     params = env.default_params()
 
     key = jax.random.key(0)

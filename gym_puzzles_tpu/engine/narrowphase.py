@@ -72,6 +72,15 @@ def _vert_mask(count):
     return jnp.arange(MAX_POLYGON_VERTICES) < count
 
 
+def _take(rows, idx):
+    """rows[idx] for a traced scalar idx WITHOUT a gather op: one-hot masked
+    sum over the (tiny, static) leading axis.  XLA gathers serialize per env
+    under the batch vmap on TPU and dominated the narrow phase (measured
+    ~1-2.4 ms per gather site at 4096 envs)."""
+    mask = jnp.arange(rows.shape[0]) == idx
+    return (rows * mask[(...,) + (None,) * (rows.ndim - 1)]).sum(axis=0)
+
+
 def _max_separation(verts1, normals1, count1, p1, q1, verts2, count2, p2, q2):
     """b2FindMaxSeparation: best separating edge of poly1 against poly2.
 
@@ -96,19 +105,19 @@ def _max_separation(verts1, normals1, count1, p1, q1, verts2, count2, p2, q2):
     s = d.min(axis=1) - m2.dot(n, v1)
     s = jnp.where(_vert_mask(count1), s, -jnp.inf)
     best = jnp.argmax(s)
-    return s[best], best.astype(jnp.int32)
+    return jnp.max(s), best.astype(jnp.int32)
 
 
 def _incident_edge(normals1, edge1, q1, verts2, normals2, count2, p2, q2):
     """b2FindIncidentEdge: endpoints (world) and indices of poly2's edge most
     anti-parallel to poly1's reference edge."""
-    normal1 = m2.rot_vec_t(q2, m2.rot_vec(q1, normals1[edge1]))  # in poly2 frame
+    normal1 = m2.rot_vec_t(q2, m2.rot_vec(q1, _take(normals1, edge1)))  # in poly2 frame
     dots = normals2[:, 0] * normal1[0] + normals2[:, 1] * normal1[1]
     dots = jnp.where(_vert_mask(count2), dots, jnp.inf)
     i1 = jnp.argmin(dots).astype(jnp.int32)
     i2 = jnp.where(i1 + 1 < count2, i1 + 1, 0).astype(jnp.int32)
-    w1 = m2.xf_vec(p2, q2, verts2[i1])
-    w2 = m2.xf_vec(p2, q2, verts2[i2])
+    w1 = m2.xf_vec(p2, q2, _take(verts2, i1))
+    w2 = m2.xf_vec(p2, q2, _take(verts2, i2))
     return w1, w2, i1, i2
 
 
@@ -191,8 +200,8 @@ def collide_polygons(
 
     iv1 = edge1
     iv2 = jnp.where(edge1 + 1 < count1, edge1 + 1, 0)
-    v11 = verts1[iv1]
-    v12 = verts1[iv2]
+    v11 = _take(verts1, iv1)
+    v12 = _take(verts1, iv2)
     local_tangent = v12 - v11
     local_tangent = local_tangent / jnp.linalg.norm(local_tangent)
     local_normal = jnp.stack([local_tangent[1], -local_tangent[0]])  # cross(t, 1)
@@ -286,9 +295,9 @@ def match_impulses(new_ids, old_ids, old_normal, old_tangent):
     eq = new_ids[:, None] == old_ids[None, :]  # [2_new, 2_old]
     valid = (new_ids[:, None] >= 0) & (old_ids[None, :] >= 0)
     hit = eq & valid
-    any_hit = hit.any(axis=1)
-    # first matching old slot
-    idx = jnp.argmax(hit, axis=1)
-    normal = jnp.where(any_hit, old_normal[idx], 0.0)
-    tangent = jnp.where(any_hit, old_tangent[idx], 0.0)
+    # first matching old slot, gather-free (2 slots, explicit select)
+    first = hit[:, 0]
+    second = hit[:, 1] & ~hit[:, 0]
+    normal = jnp.where(first, old_normal[0], jnp.where(second, old_normal[1], 0.0))
+    tangent = jnp.where(first, old_tangent[0], jnp.where(second, old_tangent[1], 0.0))
     return normal, tangent

@@ -369,10 +369,10 @@ def solve_contacts(table: ShapeTable, vc: VelocityConstraints, man, bodies_pos,
 
     kernel = _build_kernel(table, float(dt), int(vel_iters), int(pos_iters))
 
-    # grid over env tiles: keep per-cell VMEM ~4 MB (the full 4096-env
-    # working set is ~15 MB, over the 16 MB budget with double buffering)
+    # grid over env tiles: keep per-cell VMEM within ~8 MB (fewer grid cells
+    # amortize loop overheads; the planes make up the whole working set)
     S_BLK = S
-    while S_BLK > 1 and (17 * P + 9 * P * 2 + 2 * P * 2 + 6 * B + 2 * B) * S_BLK * LANES * 4 > 4 * 2**20:
+    while S_BLK > 1 and (17 * P + 9 * P * 2 + 2 * P * 2 + 6 * B + 2 * B) * S_BLK * LANES * 4 > 8 * 2**20:
         S_BLK //= 2
     grid = (S // S_BLK,)
 

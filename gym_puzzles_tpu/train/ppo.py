@@ -50,6 +50,9 @@ class PPOConfig:
     normalize: bool = True
     seed: int = 17
     total_timesteps: int = 1_000_000
+    # env backend: 'pallas' = VMEM-resident solver kernel (TPU throughput
+    # path, needs n_envs % 128 == 0); 'xla' = portable default
+    env_backend: str = "xla"
 
     @staticmethod
     def from_reference_json(config: dict, **overrides) -> "PPOConfig":
@@ -105,7 +108,7 @@ class PPO:
         if env is None:
             from gym_puzzles_tpu.api.registry import make
 
-            env = make(cfg.env_id, num_envs=cfg.n_envs)
+            env = make(cfg.env_id, num_envs=cfg.n_envs, backend=cfg.env_backend)
         self.env = env
         self.net = ActorCritic(act_dim=env.cfg.act_dim, hidden=cfg.net_arch)
         self.tx = optax.chain(
