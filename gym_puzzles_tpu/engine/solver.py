@@ -115,8 +115,13 @@ def propagate_wake(table: ShapeTable, labels, awake, sleep_time):
     awake body is woken (b2World::Solve flags all island members awake).
     Waking resets the sleep timer (b2Body::SetAwake(true))."""
     B = table.num_bodies
-    island_awake = jnp.zeros((B,), bool).at[labels].max(awake)
-    new_awake = island_awake[labels] & jnp.asarray(~table.is_static)
+    # one-hot [B(body), B(island-id)] form instead of scatter-max + gather
+    # (scatter/gather on island labels miscompiles under batched fusion on
+    # XLA CPU -- see solve_position_constraints -- and the one-hot
+    # contraction is the faster TPU form anyway)
+    oh = labels[:, None] == jnp.arange(B)[None, :]
+    island_awake = jnp.any(oh & awake[:, None], axis=0)  # [B] per island id
+    new_awake = jnp.any(oh & island_awake[None, :], axis=1) & jnp.asarray(~table.is_static)
     woke = new_awake & ~awake
     sleep_time = jnp.where(woke, 0.0, sleep_time)
     return new_awake, sleep_time
@@ -423,15 +428,23 @@ def solve_position_constraints(
     early exit (minSeparation >= -3*slop) reproduced *per island* via done
     masks indexed by island label.
 
+    The per-island done/min-sep bookkeeping uses one-hot [P,B] masks, not
+    ``done[isl]`` gathers / ``.at[isl].min`` scatters: besides being the
+    TPU-friendly form, the scatter-min inside the fori_loop is miscompiled
+    by XLA CPU (jax 0.9.0) when the step is vmapped over a batch >= 2 and
+    fused with the upstream program -- the done latch never engages and 60
+    Baumgarte iterations push grazing contacts ~0.2 m (vs one compiled at
+    batch 1, or the same ops compiled in isolation, which are correct).
+
     Returns (pos, angle, island_position_solved [B] keyed by label)."""
     P = table.num_pairs
     B = table.num_bodies
     local_center = table.local_center  # numpy, static
     # island id of a pair: label of its dynamic endpoint (body_a if dynamic)
     pick_a = ~table.is_static[table.pair_body_a]  # numpy [P]
-    pair_body = jnp.where(jnp.asarray(pick_a), jnp.asarray(table.pair_body_a),
-                          jnp.asarray(table.pair_body_b))
-    pair_island = labels[pair_body]  # [P] traced
+    pair_body = np.where(pick_a, table.pair_body_a, table.pair_body_b)  # static
+    pair_island = labels[pair_body]  # [P] traced values, static indices
+    island_oh = pair_island[:, None] == jnp.arange(B)[None, :]  # [P,B]
 
     if P == 0:
         return pos, angle, jnp.ones((B,), bool)
@@ -440,11 +453,11 @@ def solve_position_constraints(
 
     def pair_step(carry, row, p):
         pos, angle, done, min_sep = carry
-        man_p, isl, solve = row
+        man_p, oh, solve = row  # oh [B]: one-hot of this pair's island
         ia, ib = _g(table.pair_body_a, p), _g(table.pair_body_b, p)
         m_a, m_b = _g(table.inv_mass, ia), _g(table.inv_mass, ib)
         i_a, i_b = _g(table.inv_inertia, ia), _g(table.inv_inertia, ib)
-        pair_done = done[isl] | ~solve
+        pair_done = jnp.any(done & oh) | ~solve
         # b2ContactSolver computes the transforms ONCE per contact; point 1
         # reuses the pre-point-0 transform (only the centers cA/aA-derived
         # lever arms see the updated positions)
@@ -458,7 +471,7 @@ def solve_position_constraints(
             normal, point, separation = nph.position_solver_manifold(
                 man_p, org_a, q_a, org_b, q_b, j
             )
-            min_sep = min_sep.at[isl].min(jnp.where(track, separation, 0.0))
+            min_sep = jnp.minimum(min_sep, jnp.where(oh & track, separation, 0.0))
             r_a = point - pos[ia]
             r_b = point - pos[ib]
             c = jnp.clip(
@@ -481,7 +494,7 @@ def solve_position_constraints(
         pos, angle, done, min_sep = _foreach_pair(
             pair_step,
             (pos, angle, done, min_sep),
-            (man, pair_island, solve_mask),
+            (man, island_oh, solve_mask),
             P,
             unroll,
         )
@@ -512,11 +525,14 @@ def update_sleep(table: ShapeTable, labels, awake, sleep_time, vel, omega, dt,
     fast = (m2.dot(vel, vel) > LINEAR_SLEEP_TOL_SQ) | (omega**2 > ANGULAR_SLEEP_TOL_SQ)
     sleep_time = jnp.where(active, jnp.where(fast, 0.0, sleep_time + dt), sleep_time)
 
-    # per-island min sleep time over active dynamic bodies
-    island_min = jnp.full((B,), jnp.inf).at[labels].min(
-        jnp.where(active, sleep_time, jnp.inf)
-    )
-    goes_to_sleep = (island_min[labels] >= TIME_TO_SLEEP) & position_solved[labels] & active
+    # per-island min sleep time over active dynamic bodies; one-hot form
+    # instead of scatter-min + gather (see propagate_wake note)
+    oh = labels[:, None] == jnp.arange(B)[None, :]  # [B(body), B(island-id)]
+    vals = jnp.where(active, sleep_time, jnp.inf)
+    island_min = jnp.min(jnp.where(oh, vals[:, None], jnp.inf), axis=0)  # [B] per id
+    body_island_min = jnp.min(jnp.where(oh, island_min[None, :], jnp.inf), axis=1)
+    body_pos_solved = jnp.any(oh & position_solved[None, :], axis=1)
+    goes_to_sleep = (body_island_min >= TIME_TO_SLEEP) & body_pos_solved & active
 
     awake = awake & ~goes_to_sleep
     vel = jnp.where(goes_to_sleep[:, None], 0.0, vel)
