@@ -26,13 +26,48 @@ def registry_spec(env_id: str) -> EnvConfig:
         raise KeyError(f"unknown env id {env_id!r}; known: {list(ENV_IDS)}") from None
 
 
+def _normalize_block_shape(shape: str) -> str:
+    """The reference Block entity's shape validation: case-insensitive, and
+    an unsupported name warns + picks a shape at random with Python's
+    ``random`` (blocks.py:41-45 -- quirk ledger SURVEY §8.2)."""
+    import random
+    import warnings
+
+    if isinstance(shape, str):
+        shape = shape.lower()
+    if shape not in ("t", "l", "i"):
+        warnings.warn(
+            f"WARN: Block shape {shape} is not supported. Choose between "
+            "[T, L, I]. Choosing shape at random"
+        )
+        shape = random.choice(["t", "l", "i"])
+    return shape
+
+
+def _obs_dim_for_shape(cfg: EnvConfig, shape: str) -> int:
+    """Block-vertex section of the obs is 2 floats per dedup'd vertex
+    (00.py:470-472): T=8 verts, L=7, I=4."""
+    from gym_puzzles_tpu.envs.layout import block_obs_vert_count
+
+    return cfg.obs_dim + 2 * (block_obs_vert_count(shape) - 8)
+
+
 @functools.lru_cache(maxsize=None)
-def _logic(env_id: str, solver_unroll: bool = False):
+def _logic(env_id: str, solver_unroll: bool = False, block_shape: str = "t"):
     import dataclasses
 
     cfg = registry_spec(env_id)
     if solver_unroll:
         cfg = dataclasses.replace(cfg, solver_unroll=True)
+    if block_shape != "t":
+        if cfg.variant == "v2":
+            raise ValueError(
+                "block_shape is a v0/v3 capability (the reference v2 builds "
+                "its T block inline, 02.py:322-341)"
+            )
+        cfg = dataclasses.replace(
+            cfg, block_shape=block_shape, obs_dim=_obs_dim_for_shape(cfg, block_shape)
+        )
     if cfg.variant == "v0":
         from gym_puzzles_tpu.envs.v0 import V0Env
 
@@ -48,10 +83,15 @@ def _logic(env_id: str, solver_unroll: bool = False):
 
 def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
          reset_mode: str = "fast", solver_unroll: bool = False,
-         batch_axis: int = -1, backend: str = "xla") -> VectorEnv:
+         batch_axis: int = -1, backend: str = "xla",
+         block_shape: str = "t") -> VectorEnv:
     """Build a batched env.  ``reset_mode='reference'`` reproduces the
     reference's reset-takes-a-random-step contract exactly (00.py:411).
     ``backend='pallas'`` runs the contact solve in the VMEM-resident TPU
-    kernel (the throughput path; requires num_envs % 128 == 0)."""
-    return VectorEnv(_logic(env_id, solver_unroll), num_envs, auto_reset=auto_reset,
-                     reset_mode=reset_mode, batch_axis=batch_axis, backend=backend)
+    kernel (the throughput path; requires num_envs % 128 == 0).
+    ``block_shape`` selects the puzzle block geometry 't'|'l'|'i'
+    (blocks.py:15; obs dim shrinks with the dedup'd vertex count)."""
+    block_shape = _normalize_block_shape(block_shape)
+    return VectorEnv(_logic(env_id, solver_unroll, block_shape), num_envs,
+                     auto_reset=auto_reset, reset_mode=reset_mode,
+                     batch_axis=batch_axis, backend=backend)

@@ -95,6 +95,12 @@ class EnvConfig:
     dt: float = DT
     velocity_iters: int = VELOCITY_ITERS
     position_iters: int = POSITION_ITERS
+    # Block shape 't' | 'l' | 'i' (the reference Block entity's
+    # BLOCK_OPTIONS, blocks.py:15,80-109; v0 carries the same L/I fixture
+    # recipes in its multi-block scaffolding, 00.py:320-351).  Every
+    # registered env id uses 't' (core.py:224, 00.py:168); 'l'/'i' are the
+    # entity-layer capability exposed through make(..., block_shape=...).
+    block_shape: str = "t"
     # statically unroll the solver's pair loops (TPU throughput path: bigger
     # HLO/compile, VMEM-resident fused iterations; see engine/solver.py)
     solver_unroll: bool = False

@@ -61,15 +61,51 @@ def _wall_specs(world_w: float, world_h: float, thickness: float):
     return specs, positions
 
 
+def _merge_fixture_verts(fixtures):
+    """Reference vertex dedup: iterate fixtures in creation order, append
+    vertices not already seen (blocks.py:107-109, 00.py:356-361)."""
+    merged = []
+    for f in fixtures:
+        merged += [tuple(v) for v in f if tuple(v) not in merged]
+    return np.array(merged)
+
+
 def _t_block_vertices(scale: float):
     """The two T-block box fixtures at Box2D vertex order + the dedup'd
     8-vertex obs list.  ``scale`` is the box half-extent unit: v0 light /
     v3 light use 0.5, heavy 1.0 (00.py:303-332, blocks.py:80-90)."""
     f1 = shp.box_vertices(1.0 * scale, 1.0 * scale, (0.0, -1.0 * scale))
     f2 = shp.box_vertices(3.0 * scale, 1.0 * scale, (0.0, 1.0 * scale))
-    merged = [tuple(v) for v in f1]
-    merged += [tuple(v) for v in f2 if tuple(v) not in merged]
-    return f1, f2, np.array(merged)
+    return [f1, f2], _merge_fixture_verts([f1, f2])
+
+
+def _l_block_vertices(scale: float):
+    """L-block: two offset boxes (blocks.py:92-103, 00.py:335-344) -> 7
+    dedup'd vertices (the boxes share one corner)."""
+    f1 = shp.box_vertices(1.0 * scale, 1.0 * scale, (1.0 * scale, 0.5 * scale))
+    f2 = shp.box_vertices(1.0 * scale, 2.0 * scale, (-1.0 * scale, -0.5 * scale))
+    return [f1, f2], _merge_fixture_verts([f1, f2])
+
+
+def _i_block_vertices(scale: float):
+    """I-block: one centered box (blocks.py:105-109, 00.py:346-351) -> 4
+    vertices."""
+    f1 = shp.box_vertices(1.0 * scale, 2.0 * scale)
+    return [f1], _merge_fixture_verts([f1])
+
+
+def block_fixture_vertices(shape: str, scale: float):
+    """Per-shape fixture vertex lists + dedup'd obs vertex table.  The
+    reference's ``Block`` entity supports T/L/I (blocks.py:15,80-109); v0
+    carries the same three fixture recipes in its multi-block scaffolding
+    (00.py:320-351)."""
+    fn = {"t": _t_block_vertices, "l": _l_block_vertices, "i": _i_block_vertices}
+    return fn[shape](scale)
+
+
+def block_obs_vert_count(shape: str) -> int:
+    """Dedup'd vertex count per shape: T=8, L=7 (shared corner), I=4."""
+    return {"t": 8, "l": 7, "i": 4}[shape]
 
 
 def _finish(table, cfg, block_verts, world_w, world_h) -> WorldLayout:
@@ -103,15 +139,13 @@ def build_v0(cfg: C.EnvConfig) -> tuple[WorldLayout, np.ndarray]:
 
     blk_scale = 1.0 if cfg.heavy else 0.5  # scaled = S/2 or S with S=2 -> half-extent unit
     blk_dense = C.V0_DENSE * (2.0 if cfg.heavy else 1.0)
-    f1, f2, obs_verts = _t_block_vertices(blk_scale)
+    fixtures, obs_verts = block_fixture_vertices(cfg.block_shape, blk_scale)
     block = BodySpec(
-        fixtures=[
-            FixtureSpec(vertices=f1, density=blk_dense, friction=C.V0_FR),
-            FixtureSpec(vertices=f2, density=blk_dense, friction=C.V0_FR),
-        ],
+        fixtures=[FixtureSpec(vertices=f, density=blk_dense, friction=C.V0_FR)
+                  for f in fixtures],
         linear_damping=C.V0_DAMP,
         angular_damping=C.V0_DAMP,
-        name="t_block",
+        name=f"{cfg.block_shape}_block",
     )
     # v0 agents: fixtureDef without density/friction (00.py:368-376) ->
     # density 0 (mass fallback 1), friction 0.2.
@@ -178,15 +212,13 @@ def build_v3(cfg: C.EnvConfig) -> tuple[WorldLayout, np.ndarray]:
 
     blk_scale = 1.0 if cfg.heavy else 0.5
     blk_dense = C.V3_DENSE * (2.0 if cfg.heavy else 1.0)
-    f1, f2, obs_verts = _t_block_vertices(blk_scale)
+    fixtures, obs_verts = block_fixture_vertices(cfg.block_shape, blk_scale)
     block = BodySpec(
-        fixtures=[
-            FixtureSpec(vertices=f1, density=blk_dense, friction=C.V3_BLOCK_FR),
-            FixtureSpec(vertices=f2, density=blk_dense, friction=C.V3_BLOCK_FR),
-        ],
+        fixtures=[FixtureSpec(vertices=f, density=blk_dense, friction=C.V3_BLOCK_FR)
+                  for f in fixtures],
         linear_damping=C.V3_BLOCK_DAMP,
         angular_damping=C.V3_BLOCK_DAMP,
-        name="block_t",
+        name=f"block_{cfg.block_shape}",
     )
     agent_verts = C.V2_AGENT_POLY * C.V3_AGENT_SCALE  # robot.py:38
     agents = [
