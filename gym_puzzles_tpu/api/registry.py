@@ -81,6 +81,18 @@ def _logic(env_id: str, solver_unroll: bool = False, block_shape: str = "t"):
     return V3Env(cfg)
 
 
+@functools.lru_cache(maxsize=None)
+def _image_logic(env_id: str, frameskip: int = 4, block_shape: str = "t"):
+    """Env logic at the reference's image-mode physics config (frameskip 4,
+    00.py:161-162) for the pixel-observation pipelines."""
+    import dataclasses
+
+    base = _logic(env_id, False, block_shape)
+    if frameskip == base.cfg.frameskip:
+        return base
+    return type(base)(dataclasses.replace(base.cfg, frameskip=frameskip))
+
+
 def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
          reset_mode: str = "fast", solver_unroll: bool = False,
          batch_axis: int = -1, backend: str = "xla",

@@ -47,6 +47,9 @@ class PPOConfig:
     max_grad_norm: float = 0.5
     target_kl: float | None = 0.01
     net_arch: tuple = (256, 256)
+    # 'mlp' (SB3 MlpPolicy, the reference's configuration) or 'cnn' (SB3
+    # CnnPolicy / NatureCNN -- what SB3 selects for the v0 image-obs mode)
+    policy: str = "mlp"
     normalize: bool = True
     seed: int = 17
     total_timesteps: int = 1_000_000
@@ -106,11 +109,24 @@ class PPO:
     def __init__(self, cfg: PPOConfig, env: VectorEnv | None = None):
         self.cfg = cfg
         if env is None:
-            from gym_puzzles_tpu.api.registry import make
+            if cfg.policy == "cnn":
+                from gym_puzzles_tpu.api.image_obs import DeviceImageVectorEnv
 
-            env = make(cfg.env_id, num_envs=cfg.n_envs, backend=cfg.env_backend)
+                env = DeviceImageVectorEnv(cfg.env_id, num_envs=cfg.n_envs,
+                                           backend=cfg.env_backend)
+            else:
+                from gym_puzzles_tpu.api.registry import make
+
+                env = make(cfg.env_id, num_envs=cfg.n_envs, backend=cfg.env_backend)
         self.env = env
-        self.net = ActorCritic(act_dim=env.cfg.act_dim, hidden=cfg.net_arch)
+        # image envs expose obs_shape (stacked uint8 frames); flat envs don't
+        self.obs_shape = getattr(env, "obs_shape", None)
+        if self.obs_shape is not None:
+            from gym_puzzles_tpu.train.networks import CnnActorCritic
+
+            self.net = CnnActorCritic(act_dim=env.cfg.act_dim)
+        else:
+            self.net = ActorCritic(act_dim=env.cfg.act_dim, hidden=cfg.net_arch)
         self.tx = optax.chain(
             optax.clip_by_global_norm(cfg.max_grad_norm),
             optax.adam(cfg.learning_rate, eps=1e-5),
@@ -124,7 +140,11 @@ class PPO:
         key = jax.random.key(cfg.seed) if key is None else key
         k_net, k_env, k_run = jax.random.split(key, 3)
         vstate, obs = self.env.reset(k_env, self.env_params)
-        params = self.net.init(k_net, jnp.zeros((1, self.env.cfg.obs_dim)))
+        if self.obs_shape is not None:
+            dummy = jnp.zeros((1,) + tuple(self.obs_shape), jnp.uint8)
+        else:
+            dummy = jnp.zeros((1, self.env.cfg.obs_dim))
+        params = self.net.init(k_net, dummy)
         return TrainState(
             params=params,
             opt_state=self.tx.init(params),
@@ -151,6 +171,9 @@ class PPO:
         net = self.net
         tx = self.tx
         env_params = self.env_params
+        # VecNormalize semantics: obs normalization only for flat obs (SB3
+        # image runs use norm_obs=False); reward normalization either way.
+        use_obs_norm = cfg.normalize and self.obs_shape is None
         use_norm = cfg.normalize
 
         def psync(x):
@@ -162,7 +185,7 @@ class PPO:
         def make_rollout_step(params):
             def rollout_step(carry, _):
                 vstate, last_obs, norm, key, ep_ret, ep_len, stat_r, stat_c = carry
-                if use_norm:
+                if use_obs_norm:
                     norm, n_obs = nrm.normalize_obs(norm, last_obs, update=True)
                 else:
                     n_obs = last_obs
@@ -246,7 +269,7 @@ class PPO:
                 stat_c = ts.stat_count + psum(stat_c - ts.stat_count)
 
             # bootstrap value for GAE
-            if use_norm:
+            if use_obs_norm:
                 _, n_last = nrm.normalize_obs(norm, last_obs, update=False)
             else:
                 n_last = last_obs

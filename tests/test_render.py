@@ -61,3 +61,61 @@ def test_image_obs_pipeline():
     obs, r, d, info = env.step(np.zeros(6, np.float32))
     assert obs.shape == (2 * 240, 320, 3)
     assert obs.dtype == np.uint8
+
+
+@pytest.mark.parametrize("env_id,mode", [
+    ("MultiRobotPuzzle-v0", "human_vision"),
+    ("MultiRobotPuzzle-v2", "agent_vision"),
+    ("MultiRobotPuzzle-v3", "human_vision"),
+])
+def test_device_renderer_matches_host(env_id, mode):
+    """On-device (jitted) rasterizer == host rasterizer, pixel for pixel,
+    at the image pipeline's slice-style downsampling."""
+    from gym_puzzles_tpu.render.device import make_device_renderer
+    from gym_puzzles_tpu.render.raster import render_state
+
+    logic = _logic(env_id)
+    state, _ = jax.jit(logic.reset_fast)(jax.random.key(5), logic.default_params())
+    dev = jax.jit(make_device_renderer(logic, downsample=4, mode=mode))
+    img_d = np.asarray(dev(state))
+    img_h = render_state(logic, state, mode=mode)[::4, ::4]
+    assert img_d.shape == img_h.shape
+    match = (img_d == img_h).all(axis=-1).mean()
+    assert match == 1.0, f"device/host pixel mismatch: {match:.5f}"
+
+
+def test_device_image_vector_env():
+    """Batched on-device image obs: stacked uint8 frames, zero-padded at
+    episode start, fresh stack after autoreset (00.py:197-200 layout)."""
+    from gym_puzzles_tpu.api.image_obs import DeviceImageVectorEnv
+
+    env = DeviceImageVectorEnv("MultiRobotPuzzle-v0", num_envs=4,
+                               obs_depth=3, downsample=8)
+    ist, obs = env.reset(jax.random.key(0))
+    h, w = 480 // 8, 640 // 8
+    assert obs.shape == (4, 3 * h, w, 3) and obs.dtype == np.uint8
+    # reset stack: two zero frames + one rendered frame
+    obs_np = np.asarray(obs)
+    assert (obs_np[:, : 2 * h] == 0).all()
+    assert (obs_np[:, 2 * h:] > 0).any()
+    a = np.zeros((4, 6), np.float32)
+    ist, obs, r, d, _ = env.step(ist, a)
+    obs_np = np.asarray(obs)
+    assert (obs_np[:, :h] == 0).all() and (obs_np[:, h:] > 0).any()
+    ist, obs, r, d, _ = env.step(ist, a)
+    assert (np.asarray(obs) > 0).any(axis=(1, 2, 3)).all()  # stack full
+
+
+def test_cnn_ppo_train_step():
+    """PPO with the SB3-CnnPolicy-equivalent net on on-device pixels."""
+    from gym_puzzles_tpu.api.image_obs import DeviceImageVectorEnv
+    from gym_puzzles_tpu.train.ppo import PPO, PPOConfig
+
+    env = DeviceImageVectorEnv("MultiRobotPuzzle-v0", num_envs=2, downsample=16)
+    cfg = PPOConfig(env_id="MultiRobotPuzzle-v0", policy="cnn", n_envs=2,
+                    n_steps=4, batch_size=8, n_epochs=1, total_timesteps=8)
+    algo = PPO(cfg, env=env)
+    ts = algo.init_state()
+    ts, m = algo.train_step(ts)
+    m = jax.device_get(m)
+    assert np.isfinite(m["loss"]) and int(m["timesteps"]) == 8
