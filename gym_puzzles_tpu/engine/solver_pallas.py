@@ -60,7 +60,99 @@ PB_IDX = {n: i for i, n in enumerate(PB)}
 TOTAL_RADIUS = nph.TOTAL_RADIUS
 
 
-def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int):
+def _mk_pair_consts(A, Bp, p, dd_pairs):
+    """Per-pair constraint coefficients, read from the VMEM planes.
+
+    Shared by both kernel modes: the value-carry mode calls this once and
+    keeps the results live across the solver loops; the ref mode calls it
+    inside each loop body (re-reading VMEM instead of carrying values)."""
+    f32 = jnp.float32
+    nx, ny = A("nx", p), A("ny", p)
+    solve = A("solve", p)
+    cnt = A("cnt", p) * solve  # solve=0 -> cnt 0
+    return dict(
+        nx=nx, ny=ny, tx=ny, ty=-nx, solve=solve, cnt=cnt,
+        act=[(cnt > 0).astype(f32), (cnt > 1).astype(f32)],
+        use_blk=(cnt == 2).astype(f32), one_act=(cnt == 1).astype(f32),
+        k11=A("k11", p), k12=A("k12", p), k22=A("k22", p),
+        im11=A("im11", p), im12=A("im12", p), im22=A("im22", p),
+        flip=A("flip", p), sign=1.0 - 2.0 * A("flip", p),
+        lnx=A("lnx", p), lny=A("lny", p),
+        lpx=A("lpx", p), lpy=A("lpy", p),
+        link=(A("link", p) if p in dd_pairs else None),
+        mcnt=A("mcnt", p),
+        bias=[Bp("bias", p, 0), Bp("bias", p, 1)],
+        nmass=[Bp("nmass", p, 0), Bp("nmass", p, 1)],
+        tmass=[Bp("tmass", p, 0), Bp("tmass", p, 1)],
+        rax=[Bp("rax", p, 0), Bp("rax", p, 1)],
+        ray=[Bp("ray", p, 0), Bp("ray", p, 1)],
+        rbx=[Bp("rbx", p, 0), Bp("rbx", p, 1)],
+        rby=[Bp("rby", p, 0), Bp("rby", p, 1)],
+        mpx=[Bp("mpx", p, 0), Bp("mpx", p, 1)],
+        mpy=[Bp("mpy", p, 0), Bp("mpy", p, 1)],
+    )
+
+
+class _Plane:
+    """Ref-backed view: ``obj[b]`` reads/writes ``ref[plane, b]``.
+
+    Lets the ref-state kernel mode share the exact math code with the
+    value-carry mode (which uses plain dicts/lists of values)."""
+
+    def __init__(self, ref, plane):
+        self.ref, self.plane = ref, plane
+
+    def __getitem__(self, b):
+        return self.ref[self.plane, b]
+
+    def __setitem__(self, b, v):
+        self.ref[self.plane, b] = v
+
+
+class _Row:
+    """Ref-backed view over a 1-D-indexed ref: ``obj[i] <-> ref[off + i]``."""
+
+    def __init__(self, ref, off=0):
+        self.ref, self.off = ref, off
+
+    def __getitem__(self, i):
+        return self.ref[self.off + i]
+
+    def __setitem__(self, i, v):
+        self.ref[self.off + i] = v
+
+
+def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int,
+                  value_carry: bool = True):
+    """Generate the solve kernel for one static world description.
+
+    The generated code is specialized at trace time around two facts the
+    ShapeTable proves:
+
+    * **Static bodies never move and have zero velocity** (b2Body ignores
+      SetLinearVelocity on static bodies; the integrator never touches
+      them).  Every term involving a static endpoint's velocity is dropped,
+      its impulse/position updates are skipped (inv_mass = inv_I = 0 makes
+      them exact no-ops), and its position-solver transform (cos/sin +
+      origin) is hoisted out of the iteration loops and computed once.
+      With the reference worlds' 4 walls this removes roughly a third of
+      the velocity-iteration ops and the bulk of the per-iteration
+      transcendentals.
+
+    * **The pair list is static**, so all per-pair coefficient planes are
+      loop-invariant: with ``value_carry=True`` they are read from VMEM once
+      and carried as values; body velocities/positions and accumulated
+      impulses live in the fori_loop carry instead of round-tripping through
+      refs on every Gauss-Seidel micro-op.
+
+    ``value_carry=False`` keeps all solver state in the refs (the pre-carry
+    formulation): slightly slower on TPU, but the XLA:CPU compile of the
+    *interpreted* kernel is minutes-faster (the giant loop carry sends the
+    CPU backend's live-range/copy passes quadratic), so the CPU equivalence
+    tests use this mode.  Both modes run the identical math through the
+    shared sweep closures below; the modes themselves are asserted
+    equivalent on real TPU (docs/BENCHMARKS.md methodology).
+    """
     P = table.num_pairs
     B = table.num_bodies
     ia_l = [int(x) for x in table.pair_body_a]
@@ -73,122 +165,194 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int):
     dyn = [not bool(s) for s in table.is_static]
     # done-gate representative: the pair's first dynamic endpoint
     rep = [ia_l[p] if dyn[ia_l[p]] else ib_l[p] for p in range(P)]
+    dyn_bodies = [b for b in range(B) if dyn[b]]
+    n_dyn = len(dyn_bodies)
+    # dynamic-dynamic pairs: the only links the island min-propagation needs
+    dd_pairs = [p for p in range(P) if dyn[ia_l[p]] and dyn[ib_l[p]]]
 
     def kernel(pairA_ref, pairB_ref, active_ref, body_in, imp_in,
                body_ref, imp_ref, done_ref):
-        # body_in/imp_in alias body_ref/imp_ref (input_output_aliases): all
-        # reads and writes go through the output refs.
+        # body_in/imp_in alias body_ref/imp_ref (input_output_aliases).
         del body_in, imp_in
-        # ---- helpers ----------------------------------------------------
+        f32 = jnp.float32
+
         def A(name, p):
             return pairA_ref[PA_IDX[name] * P + p]
 
         def Bp(name, p, j):
             return pairB_ref[(PB_IDX[name] * P + p) * 2 + j]
 
-        def rel_vel(p, j):
+        # ---- per-pair constants -----------------------------------------
+        # value mode: read once, live across the loops (hoisted).
+        # ref mode: rebuilt inside each loop body so no value crosses a
+        # loop boundary (VMEM rereads are cheap; XLA:CPU compile stays sane).
+        def mkC():
+            return [_mk_pair_consts(A, Bp, p, dd_pairs) for p in range(P)]
+
+        C = mkC() if value_carry else None
+
+        # ---- velocity-phase state ----------------------------------------
+        # V maps dynamic body -> velocity components; static bodies are
+        # compile-time zero.  N/T are accumulated impulses per pair-point.
+        # value mode: plain values (ride the fori carry).  ref mode: views
+        # reading/writing the refs in place.
+        if value_carry:
+            V = dict(
+                vx={b: body_ref[VELX, b] for b in dyn_bodies},
+                vy={b: body_ref[VELY, b] for b in dyn_bodies},
+                om={b: body_ref[OM, b] for b in dyn_bodies},
+            )
+            N = [imp_ref[(0 * P + p) * 2 + j] for p in range(P) for j in range(2)]
+            T = [imp_ref[(1 * P + p) * 2 + j] for p in range(P) for j in range(2)]
+        else:
+            V = dict(vx=_Plane(body_ref, VELX), vy=_Plane(body_ref, VELY),
+                     om=_Plane(body_ref, OM))
+            N = _Row(imp_ref, 0)
+            T = _Row(imp_ref, 2 * P)
+
+        def rel_vel(Cl, Vv, p, j):
             ia, ib = ia_l[p], ib_l[p]
-            rax, ray = Bp("rax", p, j), Bp("ray", p, j)
-            rbx, rby = Bp("rbx", p, j), Bp("rby", p, j)
-            dvx = body_ref[VELX, ib] - body_ref[OM, ib] * rby \
-                - body_ref[VELX, ia] + body_ref[OM, ia] * ray
-            dvy = body_ref[VELY, ib] + body_ref[OM, ib] * rbx \
-                - body_ref[VELY, ia] - body_ref[OM, ia] * rax
+            c = Cl[p]
+            rax, ray = c["rax"][j], c["ray"][j]
+            rbx, rby = c["rbx"][j], c["rby"][j]
+            if dyn[ia] and dyn[ib]:
+                dvx = Vv["vx"][ib] - Vv["om"][ib] * rby \
+                    - Vv["vx"][ia] + Vv["om"][ia] * ray
+                dvy = Vv["vy"][ib] + Vv["om"][ib] * rbx \
+                    - Vv["vy"][ia] - Vv["om"][ia] * rax
+            elif dyn[ib]:
+                dvx = Vv["vx"][ib] - Vv["om"][ib] * rby
+                dvy = Vv["vy"][ib] + Vv["om"][ib] * rbx
+            else:  # dyn[ia] only (a pair never has two static endpoints)
+                dvx = Vv["om"][ia] * ray - Vv["vx"][ia]
+                dvy = -Vv["vy"][ia] - Vv["om"][ia] * rax
             return dvx, dvy
 
-        def apply_impulse(p, j, px, py):
+        def apply_impulse(Cl, Vv, p, j, px, py):
             ia, ib = ia_l[p], ib_l[p]
-            rax, ray = Bp("rax", p, j), Bp("ray", p, j)
-            rbx, rby = Bp("rbx", p, j), Bp("rby", p, j)
-            body_ref[VELX, ia] = body_ref[VELX, ia] - inv_m[ia] * px
-            body_ref[VELY, ia] = body_ref[VELY, ia] - inv_m[ia] * py
-            body_ref[OM, ia] = body_ref[OM, ia] - inv_i[ia] * (rax * py - ray * px)
-            body_ref[VELX, ib] = body_ref[VELX, ib] + inv_m[ib] * px
-            body_ref[VELY, ib] = body_ref[VELY, ib] + inv_m[ib] * py
-            body_ref[OM, ib] = body_ref[OM, ib] + inv_i[ib] * (rbx * py - rby * px)
+            c = Cl[p]
+            if dyn[ia]:
+                Vv["vx"][ia] = Vv["vx"][ia] - inv_m[ia] * px
+                Vv["vy"][ia] = Vv["vy"][ia] - inv_m[ia] * py
+                Vv["om"][ia] = Vv["om"][ia] - inv_i[ia] * (
+                    c["rax"][j] * py - c["ray"][j] * px)
+            if dyn[ib]:
+                Vv["vx"][ib] = Vv["vx"][ib] + inv_m[ib] * px
+                Vv["vy"][ib] = Vv["vy"][ib] + inv_m[ib] * py
+                Vv["om"][ib] = Vv["om"][ib] + inv_i[ib] * (
+                    c["rbx"][j] * py - c["rby"][j] * px)
 
         # ---- warm start -------------------------------------------------
+        Cw = C if value_carry else mkC()
         for p in range(P):
-            nx, ny = A("nx", p), A("ny", p)
-            tx, ty = ny, -nx
-            cnt = A("cnt", p)
-            solve = A("solve", p)
+            c = Cw[p]
             for j in range(2):
-                mask = solve * (cnt > j).astype(jnp.float32)
-                ni = imp_ref[(0 * P + p) * 2 + j] * mask
-                ti = imp_ref[(1 * P + p) * 2 + j] * mask
-                apply_impulse(p, j, ni * nx + ti * tx, ni * ny + ti * ty)
+                mask = c["act"][j]
+                ni = N[p * 2 + j] * mask
+                ti = T[p * 2 + j] * mask
+                apply_impulse(Cw, V, p, j, ni * c["nx"] + ti * c["tx"],
+                              ni * c["ny"] + ti * c["ty"])
 
-        # ---- velocity iterations ---------------------------------------
-        def vel_iter(_, carry):
+        # ---- velocity iterations -----------------------------------------
+        def vel_sweep(Cl, Vv, Nv, Tv):
             for p in range(P):
-                nx, ny = A("nx", p), A("ny", p)
-                tx, ty = ny, -nx
-                solve = A("solve", p)
-                cnt = A("cnt", p) * solve  # solve=0 -> cnt 0
+                c = Cl[p]
+                nx, ny, tx, ty = c["nx"], c["ny"], c["tx"], c["ty"]
 
                 # friction per point
                 for j in range(2):
-                    active = (cnt > j).astype(jnp.float32)
-                    dvx, dvy = rel_vel(p, j)
+                    dvx, dvy = rel_vel(Cl, Vv, p, j)
                     vt = dvx * tx + dvy * ty
-                    lam = Bp("tmass", p, j) * (-vt)
-                    ni = imp_ref[(0 * P + p) * 2 + j]
-                    ti = imp_ref[(1 * P + p) * 2 + j]
+                    lam = c["tmass"][j] * (-vt)
+                    ni = Nv[p * 2 + j]
+                    ti = Tv[p * 2 + j]
                     max_f = fric[p] * ni
                     new_t = jnp.clip(ti + lam, -max_f, max_f)
-                    lam = (new_t - ti) * active
-                    imp_ref[(1 * P + p) * 2 + j] = ti + lam
-                    apply_impulse(p, j, lam * tx, lam * ty)
+                    lam = (new_t - ti) * c["act"][j]
+                    Tv[p * 2 + j] = ti + lam
+                    apply_impulse(Cl, Vv, p, j, lam * tx, lam * ty)
 
                 # normal: single-point candidate
-                dv0x, dv0y = rel_vel(p, 0)
+                dv0x, dv0y = rel_vel(Cl, Vv, p, 0)
                 vn0 = dv0x * nx + dv0y * ny
-                n0 = imp_ref[(0 * P + p) * 2 + 0]
-                n1 = imp_ref[(0 * P + p) * 2 + 1]
-                lam0 = -Bp("nmass", p, 0) * (vn0 - Bp("bias", p, 0))
+                n0 = Nv[p * 2 + 0]
+                n1 = Nv[p * 2 + 1]
+                lam0 = -c["nmass"][0] * (vn0 - c["bias"][0])
                 d_single = jnp.maximum(n0 + lam0, 0.0) - n0
 
                 # normal: 2x2 block solver
-                dv1x, dv1y = dv0x, dv0y
-                dv2x, dv2y = rel_vel(p, 1)
-                vn1 = vn0
+                dv2x, dv2y = rel_vel(Cl, Vv, p, 1)
                 vn2 = dv2x * nx + dv2y * ny
-                k11, k12, k22 = A("k11", p), A("k12", p), A("k22", p)
-                b1 = vn1 - Bp("bias", p, 0) - (k11 * n0 + k12 * n1)
-                b2 = vn2 - Bp("bias", p, 1) - (k12 * n0 + k22 * n1)
-                x1_1 = -(A("im11", p) * b1 + A("im12", p) * b2)
-                x2_1 = -(A("im12", p) * b1 + A("im22", p) * b2)
+                b1 = vn0 - c["bias"][0] - (c["k11"] * n0 + c["k12"] * n1)
+                b2 = vn2 - c["bias"][1] - (c["k12"] * n0 + c["k22"] * n1)
+                x1_1 = -(c["im11"] * b1 + c["im12"] * b2)
+                x2_1 = -(c["im12"] * b1 + c["im22"] * b2)
                 ok1 = (x1_1 >= 0.0) & (x2_1 >= 0.0)
-                x1_2 = -Bp("nmass", p, 0) * b1
-                ok2 = (x1_2 >= 0.0) & (k12 * x1_2 + b2 >= 0.0)
-                x2_3 = -Bp("nmass", p, 1) * b2
-                ok3 = (x2_3 >= 0.0) & (k12 * x2_3 + b1 >= 0.0)
+                x1_2 = -c["nmass"][0] * b1
+                ok2 = (x1_2 >= 0.0) & (c["k12"] * x1_2 + b2 >= 0.0)
+                x2_3 = -c["nmass"][1] * b2
+                ok3 = (x2_3 >= 0.0) & (c["k12"] * x2_3 + b1 >= 0.0)
                 ok4 = (b1 >= 0.0) & (b2 >= 0.0)
                 x1 = jnp.where(ok1, x1_1, jnp.where(ok2, x1_2, 0.0))
                 x2 = jnp.where(ok1, x2_1, jnp.where(ok3, x2_3, 0.0))
-                applied = (ok1 | ok2 | ok3 | ok4).astype(jnp.float32)
+                applied = (ok1 | ok2 | ok3 | ok4).astype(f32)
                 d1_blk = applied * (x1 - n0)
                 d2_blk = applied * (x2 - n1)
 
-                use_blk = (cnt == 2).astype(jnp.float32)
-                one_act = (cnt == 1).astype(jnp.float32)
-                d1 = use_blk * d1_blk + one_act * d_single
-                d2 = use_blk * d2_blk
+                d1 = c["use_blk"] * d1_blk + c["one_act"] * d_single
+                d2 = c["use_blk"] * d2_blk
 
-                imp_ref[(0 * P + p) * 2 + 0] = n0 + d1
-                imp_ref[(0 * P + p) * 2 + 1] = n1 + d2
-                apply_impulse(p, 0, d1 * nx, d1 * ny)
-                apply_impulse(p, 1, d2 * nx, d2 * ny)
-            return carry
+                Nv[p * 2 + 0] = n0 + d1
+                Nv[p * 2 + 1] = n1 + d2
+                apply_impulse(Cl, Vv, p, 0, d1 * nx, d1 * ny)
+                apply_impulse(Cl, Vv, p, 1, d2 * nx, d2 * ny)
 
-        jax.lax.fori_loop(0, vel_iters, vel_iter, 0)
+        if value_carry:
+            # state rides the fori carry as values
+            def vel_pack(Vv, Nv, Tv):
+                return (tuple(Vv["vx"][b] for b in dyn_bodies),
+                        tuple(Vv["vy"][b] for b in dyn_bodies),
+                        tuple(Vv["om"][b] for b in dyn_bodies),
+                        tuple(Nv), tuple(Tv))
+
+            def vel_unpack(carry):
+                vxs, vys, oms, ns, ts = carry
+                Vv = dict(vx={b: vxs[i] for i, b in enumerate(dyn_bodies)},
+                          vy={b: vys[i] for i, b in enumerate(dyn_bodies)},
+                          om={b: oms[i] for i, b in enumerate(dyn_bodies)})
+                return Vv, list(ns), list(ts)
+
+            def vel_iter(_, carry):
+                Vv, Nv, Tv = vel_unpack(carry)
+                vel_sweep(C, Vv, Nv, Tv)
+                return vel_pack(Vv, Nv, Tv)
+
+            V, N, T = vel_unpack(
+                jax.lax.fori_loop(0, vel_iters, vel_iter, vel_pack(V, N, T))
+            )
+
+            # store impulses (b2ContactSolver::StoreImpulses)
+            for p in range(P):
+                for j in range(2):
+                    imp_ref[(0 * P + p) * 2 + j] = N[p * 2 + j]
+                    imp_ref[(1 * P + p) * 2 + j] = T[p * 2 + j]
+        else:
+            # state lives in the refs; the views write through on every op
+            def vel_iter(_, carry):
+                vel_sweep(mkC(), V, N, T)
+                return carry
+
+            jax.lax.fori_loop(0, vel_iters, vel_iter, 0)
 
         # ---- integrate positions (clamped; awake bodies only) -----------
-        for b in range(B):
-            if not dyn[b]:
-                continue
-            vx, vy, w = body_ref[VELX, b], body_ref[VELY, b], body_ref[OM, b]
+        if value_carry:
+            PX, PY, AN = {}, {}, {}
+        else:
+            PX = _Plane(body_ref, POSX)
+            PY = _Plane(body_ref, POSY)
+            AN = _Plane(body_ref, ANG)
+        for b in dyn_bodies:
+            vx, vy, w = V["vx"][b], V["vy"][b], V["om"][b]
             t2 = (dt * dt) * (vx * vx + vy * vy)
             scale = jnp.where(
                 t2 > MAX_TRANSLATION**2,
@@ -207,32 +371,55 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int):
             body_ref[VELX, b] = vx
             body_ref[VELY, b] = vy
             body_ref[OM, b] = w
-            body_ref[POSX, b] = body_ref[POSX, b] + act * (dt * vx)
-            body_ref[POSY, b] = body_ref[POSY, b] + act * (dt * vy)
-            body_ref[ANG, b] = body_ref[ANG, b] + act * (dt * w)
+            PX[b] = body_ref[POSX, b] + act * (dt * vx)
+            PY[b] = body_ref[POSY, b] + act * (dt * vy)
+            AN[b] = body_ref[ANG, b] + act * (dt * w)
+
+        # ---- static transforms: constant through the position solve -----
+        ST = {}
+        for b in range(B):
+            if dyn[b]:
+                continue
+            cs, ss = jnp.cos(body_ref[ANG, b]), jnp.sin(body_ref[ANG, b])
+            if lcx[b] == 0.0 and lcy[b] == 0.0:
+                ox, oy = body_ref[POSX, b], body_ref[POSY, b]
+            else:
+                ox = body_ref[POSX, b] - (cs * lcx[b] - ss * lcy[b])
+                oy = body_ref[POSY, b] - (ss * lcx[b] + cs * lcy[b])
+            ST[b] = (cs, ss, ox, oy, body_ref[POSX, b], body_ref[POSY, b])
 
         # ---- position iterations with per-island early exit -------------
         for b in range(B):
             done_ref[b] = jnp.zeros_like(done_ref[b])
 
-        def pos_iter(_, carry):
+        def pos_sweep(Cl, PXv, PYv, ANv, DNv):
             # per-body min separation accumulators, private to the iteration
-            ms = [jnp.zeros_like(done_ref[0]) for _ in range(B)]
+            ms = {b: jnp.zeros_like(done_ref[0]) for b in dyn_bodies}
             for p in range(P):
                 ia, ib = ia_l[p], ib_l[p]
-                solve = A("solve", p)
-                cnt = A("mcnt", p)  # manifold count (not the degraded one)
-                pair_done = jnp.maximum(done_ref[rep[p]], 1.0 - solve)
+                c = Cl[p]
+                solve = c["solve"]
+                cnt = c["mcnt"]  # manifold count (not the degraded one)
+                pair_done = jnp.maximum(DNv[rep[p]], 1.0 - solve)
 
-                # transforms once per contact (b2 semantics)
-                ca, sa = jnp.cos(body_ref[ANG, ia]), jnp.sin(body_ref[ANG, ia])
-                cb, sb = jnp.cos(body_ref[ANG, ib]), jnp.sin(body_ref[ANG, ib])
-                orgax = body_ref[POSX, ia] - (ca * lcx[ia] - sa * lcy[ia])
-                orgay = body_ref[POSY, ia] - (sa * lcx[ia] + ca * lcy[ia])
-                orgbx = body_ref[POSX, ib] - (cb * lcx[ib] - sb * lcy[ib])
-                orgby = body_ref[POSY, ib] - (sb * lcx[ib] + cb * lcy[ib])
+                # transforms once per contact (b2 semantics); static sides
+                # come from the hoisted constants
+                if dyn[ia]:
+                    ca, sa = jnp.cos(ANv[ia]), jnp.sin(ANv[ia])
+                    orgax = PXv[ia] - (ca * lcx[ia] - sa * lcy[ia])
+                    orgay = PYv[ia] - (sa * lcx[ia] + ca * lcy[ia])
+                    pax, pay = PXv[ia], PYv[ia]
+                else:
+                    ca, sa, orgax, orgay, pax, pay = ST[ia]
+                if dyn[ib]:
+                    cb, sb = jnp.cos(ANv[ib]), jnp.sin(ANv[ib])
+                    orgbx = PXv[ib] - (cb * lcx[ib] - sb * lcy[ib])
+                    orgby = PYv[ib] - (sb * lcx[ib] + cb * lcy[ib])
+                    pbx, pby = PXv[ib], PYv[ib]
+                else:
+                    cb, sb, orgbx, orgby, pbx, pby = ST[ib]
 
-                flip = A("flip", p)
+                flip = c["flip"]
                 cr = flip * cb + (1.0 - flip) * ca
                 sr = flip * sb + (1.0 - flip) * sa
                 orx = flip * orgbx + (1.0 - flip) * orgax
@@ -242,18 +429,16 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int):
                 oix = flip * orgax + (1.0 - flip) * orgbx
                 oiy = flip * orgay + (1.0 - flip) * orgby
 
-                lnx, lny = A("lnx", p), A("lny", p)
-                lpx, lpy = A("lpx", p), A("lpy", p)
-                nwx = cr * lnx - sr * lny
-                nwy = sr * lnx + cr * lny
-                ppx = orx + cr * lpx - sr * lpy
-                ppy = ory + sr * lpx + cr * lpy
-                sign = 1.0 - 2.0 * flip  # ensure normal points A -> B
+                nwx = cr * c["lnx"] - sr * c["lny"]
+                nwy = sr * c["lnx"] + cr * c["lny"]
+                ppx = orx + cr * c["lpx"] - sr * c["lpy"]
+                ppy = ory + sr * c["lpx"] + cr * c["lpy"]
+                sign = c["sign"]  # ensure normal points A -> B
 
                 for j in range(2):
-                    track = solve * (cnt > j).astype(jnp.float32)
+                    track = solve * (cnt > j).astype(f32)
                     active = track * (1.0 - pair_done)
-                    mpx, mpy = Bp("mpx", p, j), Bp("mpy", p, j)
+                    mpx, mpy = c["mpx"][j], c["mpy"][j]
                     cpx = oix + ci * mpx - si * mpy
                     cpy = oiy + si * mpx + ci * mpy
                     sep = (cpx - ppx) * nwx + (cpy - ppy) * nwy - TOTAL_RADIUS
@@ -264,47 +449,88 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int):
                     if dyn[ib]:
                         ms[ib] = jnp.minimum(ms[ib], jnp.where(track > 0, sep, 0.0))
 
-                    rax = cpx - body_ref[POSX, ia]
-                    ray = cpy - body_ref[POSY, ia]
-                    rbx = cpx - body_ref[POSX, ib]
-                    rby = cpy - body_ref[POSY, ib]
-                    c = jnp.clip(
+                    cc = jnp.clip(
                         BAUMGARTE * (sep + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0
                     )
-                    rna = rax * naby - ray * nabx
-                    rnb = rbx * naby - rby * nabx
-                    k = inv_m[ia] + inv_m[ib] + inv_i[ia] * rna * rna + inv_i[ib] * rnb * rnb
-                    imp = jnp.where(k > 0.0, -c / jnp.maximum(k, 1e-20), 0.0) * active
+                    # k only collects dynamic endpoints (inv terms of the
+                    # static side are exactly zero)
+                    k = inv_m[ia] + inv_m[ib]
+                    if dyn[ia]:
+                        rax = cpx - pax
+                        ray = cpy - pay
+                        rna = rax * naby - ray * nabx
+                        k = k + inv_i[ia] * rna * rna
+                    if dyn[ib]:
+                        rbx = cpx - pbx
+                        rby = cpy - pby
+                        rnb = rbx * naby - rby * nabx
+                        k = k + inv_i[ib] * rnb * rnb
+                    imp = jnp.where(k > 0.0, -cc / jnp.maximum(k, 1e-20), 0.0) * active
                     px, py = imp * nabx, imp * naby
-                    body_ref[POSX, ia] = body_ref[POSX, ia] - inv_m[ia] * px
-                    body_ref[POSY, ia] = body_ref[POSY, ia] - inv_m[ia] * py
-                    body_ref[ANG, ia] = body_ref[ANG, ia] - inv_i[ia] * (rax * py - ray * px)
-                    body_ref[POSX, ib] = body_ref[POSX, ib] + inv_m[ib] * px
-                    body_ref[POSY, ib] = body_ref[POSY, ib] + inv_m[ib] * py
-                    body_ref[ANG, ib] = body_ref[ANG, ib] + inv_i[ib] * (rby * px - rbx * py) * (-1.0)
+                    if dyn[ia]:
+                        PXv[ia] = PXv[ia] - inv_m[ia] * px
+                        PYv[ia] = PYv[ia] - inv_m[ia] * py
+                        ANv[ia] = ANv[ia] - inv_i[ia] * (rax * py - ray * px)
+                        pax, pay = PXv[ia], PYv[ia]
+                    if dyn[ib]:
+                        PXv[ib] = PXv[ib] + inv_m[ib] * px
+                        PYv[ib] = PYv[ib] + inv_m[ib] * py
+                        ANv[ib] = ANv[ib] + inv_i[ib] * (rby * px - rbx * py) * (-1.0)
+                        pbx, pby = PXv[ib], PYv[ib]
 
-            # island-wide minimum via min-propagation over touching links
-            for _round in range(B - 1):
-                changed = False
-                for p in range(P):
+            # island-wide minimum via min-propagation over touching links;
+            # diameter of the dynamic contact graph is < n_dyn
+            for _round in range(max(1, n_dyn - 1)):
+                for p in dd_pairs:
                     ia, ib = ia_l[p], ib_l[p]
-                    if not (dyn[ia] and dyn[ib]):
-                        continue
-                    link = A("link", p)
+                    link = Cl[p]["link"]
                     m = jnp.minimum(ms[ia], ms[ib])
                     ms[ia] = link * m + (1.0 - link) * ms[ia]
                     ms[ib] = link * m + (1.0 - link) * ms[ib]
-                    changed = True
-                if not changed:
-                    break
-            for b in range(B):
-                if dyn[b]:
-                    done_ref[b] = jnp.maximum(
-                        done_ref[b], (ms[b] >= -3.0 * LINEAR_SLOP).astype(jnp.float32)
-                    )
-            return carry
+            for b in dyn_bodies:
+                DNv[b] = jnp.maximum(
+                    DNv[b], (ms[b] >= -3.0 * LINEAR_SLOP).astype(f32)
+                )
 
-        jax.lax.fori_loop(0, pos_iters, pos_iter, 0)
+        if value_carry:
+            def pos_pack(PXv, PYv, ANv, DNv):
+                return (tuple(PXv[b] for b in dyn_bodies),
+                        tuple(PYv[b] for b in dyn_bodies),
+                        tuple(ANv[b] for b in dyn_bodies),
+                        tuple(DNv[b] for b in dyn_bodies))
+
+            def pos_unpack(carry):
+                pxs, pys, ans, dns = carry
+                return ({b: pxs[i] for i, b in enumerate(dyn_bodies)},
+                        {b: pys[i] for i, b in enumerate(dyn_bodies)},
+                        {b: ans[i] for i, b in enumerate(dyn_bodies)},
+                        {b: dns[i] for i, b in enumerate(dyn_bodies)})
+
+            def pos_iter(_, carry):
+                PXv, PYv, ANv, DNv = pos_unpack(carry)
+                pos_sweep(C, PXv, PYv, ANv, DNv)
+                return pos_pack(PXv, PYv, ANv, DNv)
+
+            PX, PY, AN, DN = pos_unpack(
+                jax.lax.fori_loop(
+                    0, pos_iters, pos_iter,
+                    pos_pack(PX, PY, AN, {b: jnp.zeros_like(done_ref[0])
+                                          for b in dyn_bodies}),
+                )
+            )
+            for b in dyn_bodies:
+                body_ref[POSX, b] = PX[b]
+                body_ref[POSY, b] = PY[b]
+                body_ref[ANG, b] = AN[b]
+                done_ref[b] = DN[b]
+        else:
+            DN = _Row(done_ref)
+
+            def pos_iter(_, carry):
+                pos_sweep(mkC(), PX, PY, AN, DN)
+                return carry
+
+            jax.lax.fori_loop(0, pos_iters, pos_iter, 0)
 
     return kernel
 
@@ -367,12 +593,21 @@ def solve_contacts(table: ShapeTable, vc: VelocityConstraints, man, bodies_pos,
     )  # [6, B, E]
     imp = jnp.concatenate([pts(vc.normal_impulse), pts(vc.tangent_impulse)])  # [2*P*2, E]
 
-    kernel = _build_kernel(table, float(dt), int(vel_iters), int(pos_iters))
+    # Interpreted runs (CPU tests) use the ref-state formulation: identical
+    # math, but XLA:CPU compiles it in seconds where the value-carry HLO
+    # takes minutes (pathological live-range analysis on the ~400-wide loop
+    # carry).  TPU always gets the value-carry kernel (~20% faster step).
+    kernel = _build_kernel(table, float(dt), int(vel_iters), int(pos_iters),
+                           value_carry=not INTERPRET)
 
-    # grid over env tiles: keep per-cell VMEM within ~8 MB (fewer grid cells
-    # amortize loop overheads; the planes make up the whole working set)
+    # grid over env tiles: keep per-cell plane buffers within ~8 MB.  The
+    # kernel additionally carries the whole velocity/position state plus the
+    # hoisted per-pair constants as *values* (fori_loop carries), which lands
+    # on the Mosaic scoped-vmem stack at ~2.5x the plane working set — well
+    # over the 16 MB default scoped limit, so the pallas_call below raises
+    # vmem_limit_bytes (v5e has 128 MB of VMEM).
     S_BLK = S
-    while S_BLK > 1 and (17 * P + 9 * P * 2 + 2 * P * 2 + 6 * B + 2 * B) * S_BLK * LANES * 4 > 8 * 2**20:
+    while S_BLK > 1 and (17 * P + 9 * P * 2 + 2 * P * 2 + 6 * B + 2 * B) * S_BLK * LANES * 4 > 16 * 2**20:
         S_BLK //= 2
     grid = (S // S_BLK,)
 
@@ -403,6 +638,9 @@ def solve_contacts(table: ShapeTable, vc: VelocityConstraints, man, bodies_pos,
             pl.BlockSpec((B, S_BLK, LANES), im2, memory_space=pltpu.VMEM),
         ),
         input_output_aliases={3: 0, 4: 1},  # body, imp updated in place
+        # the value-carried live set exceeds the 16 MB default scoped-vmem
+        # budget; raise the per-kernel limit (v5e VMEM is 128 MB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=INTERPRET,
     )(
         _tile(pairA.reshape(17 * P, E), S),

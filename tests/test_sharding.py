@@ -31,6 +31,18 @@ def test_entry_compiles():
     assert np.isfinite(np.asarray(obs)).all()
 
 
+def test_scaling_bench_harness():
+    """Weak-scaling harness runs 1->2->4->8 devices on the CPU mesh and
+    reports positive rates (efficiency numbers are only meaningful on real
+    chips; here we pin the harness mechanics)."""
+    from gym_puzzles_tpu.parallel.scaling_bench import run
+
+    rows = run(envs_per_device=2, n_steps=2, updates=1)
+    assert [r["devices"] for r in rows] == [1, 2, 4, 8]
+    assert all(r["env_steps_per_s"] > 0 for r in rows)
+    assert rows[0]["efficiency_vs_1dev"] == 1.0
+
+
 def test_distributed_matches_env_count():
     from gym_puzzles_tpu.parallel.mesh import DistributedPPO, make_mesh
     from gym_puzzles_tpu.train.ppo import PPOConfig
