@@ -30,6 +30,9 @@ def build_parser():
     p.add_argument("--resume", default=None, type=str, help="checkpoint dir to resume")
     p.add_argument("--distributed", action="store_true",
                    help="shard the env batch over all local devices")
+    p.add_argument("--env_backend", default=None, choices=["xla", "pallas"],
+                   help="engine backend: pallas = VMEM-resident solve "
+                        "kernel (TPU throughput path, n_envs %% 128 == 0)")
     p.add_argument("--log_interval", default=1, type=int)
     # PPO hparams (parsers.py:78-131)
     for name, typ in [
@@ -62,6 +65,8 @@ def main(argv=None):
         overrides["env_id"] = args.env
     if args.n_envs:
         overrides["n_envs"] = args.n_envs
+    if args.env_backend:
+        overrides["env_backend"] = args.env_backend
     overrides["seed"] = args.seed
     overrides["total_timesteps"] = args.total_timesteps
 
