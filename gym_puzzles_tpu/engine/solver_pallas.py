@@ -600,14 +600,14 @@ def solve_contacts(table: ShapeTable, vc: VelocityConstraints, man, bodies_pos,
     kernel = _build_kernel(table, float(dt), int(vel_iters), int(pos_iters),
                            value_carry=not INTERPRET)
 
-    # grid over env tiles: keep per-cell plane buffers within ~8 MB.  The
+    # grid over env tiles: keep per-cell plane buffers within ~24 MB.  The
     # kernel additionally carries the whole velocity/position state plus the
     # hoisted per-pair constants as *values* (fori_loop carries), which lands
     # on the Mosaic scoped-vmem stack at ~2.5x the plane working set — well
     # over the 16 MB default scoped limit, so the pallas_call below raises
     # vmem_limit_bytes (v5e has 128 MB of VMEM).
     S_BLK = S
-    while S_BLK > 1 and (17 * P + 9 * P * 2 + 2 * P * 2 + 6 * B + 2 * B) * S_BLK * LANES * 4 > 16 * 2**20:
+    while S_BLK > 1 and (17 * P + 9 * P * 2 + 2 * P * 2 + 6 * B + 2 * B) * S_BLK * LANES * 4 > 24 * 2**20:
         S_BLK //= 2
     grid = (S // S_BLK,)
 
