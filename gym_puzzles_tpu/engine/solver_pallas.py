@@ -47,6 +47,10 @@ LANES = 128
 # interpreter -- used by the CPU equivalence tests.
 INTERPRET = False
 
+# Test hook: cap the per-cell sublane tile to force a multi-cell grid at
+# small env counts (exercises the non-aliased copy-in path).
+MAX_S_BLK = None
+
 # body_ref plane indices
 VELX, VELY, OM, POSX, POSY, ANG = range(6)
 # pairA plane names (per pair)
@@ -123,7 +127,7 @@ class _Row:
 
 
 def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int,
-                  value_carry: bool = True):
+                  value_carry: bool = True, aliased: bool = True):
     """Generate the solve kernel for one static world description.
 
     The generated code is specialized at trace time around two facts the
@@ -172,8 +176,16 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int,
 
     def kernel(pairA_ref, pairB_ref, active_ref, body_in, imp_in,
                body_ref, imp_ref, done_ref):
-        # body_in/imp_in alias body_ref/imp_ref (input_output_aliases).
-        del body_in, imp_in
+        if aliased:
+            # body_in/imp_in alias body_ref/imp_ref (input_output_aliases).
+            # Only legal on a single-cell grid: Mosaic miswindows aliased
+            # inputs when the grid has >1 cell (verified empirically -- a
+            # minimal aliased blocked-grid kernel returns wrong planes for
+            # every cell), so multi-cell launches copy instead.
+            del body_in, imp_in
+        else:
+            body_ref[...] = body_in[...]
+            imp_ref[...] = imp_in[...]
         f32 = jnp.float32
 
         def A(name, p):
@@ -597,9 +609,6 @@ def solve_contacts(table: ShapeTable, vc: VelocityConstraints, man, bodies_pos,
     # math, but XLA:CPU compiles it in seconds where the value-carry HLO
     # takes minutes (pathological live-range analysis on the ~400-wide loop
     # carry).  TPU always gets the value-carry kernel (~20% faster step).
-    kernel = _build_kernel(table, float(dt), int(vel_iters), int(pos_iters),
-                           value_carry=not INTERPRET)
-
     # grid over env tiles: keep per-cell plane buffers within ~24 MB.  The
     # kernel additionally carries the whole velocity/position state plus the
     # hoisted per-pair constants as *values* (fori_loop carries), which lands
@@ -609,7 +618,18 @@ def solve_contacts(table: ShapeTable, vc: VelocityConstraints, man, bodies_pos,
     S_BLK = S
     while S_BLK > 1 and (17 * P + 9 * P * 2 + 2 * P * 2 + 6 * B + 2 * B) * S_BLK * LANES * 4 > 24 * 2**20:
         S_BLK //= 2
+    if MAX_S_BLK is not None:
+        S_BLK = min(S_BLK, MAX_S_BLK)
     grid = (S // S_BLK,)
+    # in-place aliasing of the body/impulse buffers is ONLY correct on a
+    # single-cell grid: Mosaic miswindows aliased inputs across grid cells
+    # (verified empirically; a minimal aliased 2-cell kernel reads the wrong
+    # plane data in every cell).  Multi-cell launches pass the state as a
+    # plain input and the kernel copies it into the outputs first.
+    aliased = grid[0] == 1
+
+    kernel = _build_kernel(table, float(dt), int(vel_iters), int(pos_iters),
+                           value_carry=not INTERPRET, aliased=aliased)
 
     def im2(i):  # [K, S, 128] arrays
         return (0, i, 0)
@@ -637,7 +657,7 @@ def solve_contacts(table: ShapeTable, vc: VelocityConstraints, man, bodies_pos,
             pl.BlockSpec((2 * P * 2, S_BLK, LANES), im2, memory_space=pltpu.VMEM),
             pl.BlockSpec((B, S_BLK, LANES), im2, memory_space=pltpu.VMEM),
         ),
-        input_output_aliases={3: 0, 4: 1},  # body, imp updated in place
+        input_output_aliases={3: 0, 4: 1} if aliased else {},
         # the value-carried live set exceeds the 16 MB default scoped-vmem
         # budget; raise the per-kernel limit (v5e VMEM is 128 MB)
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),

@@ -51,6 +51,39 @@ def test_step_batched_matches_vmapped_step(env_id):
     )
 
 
+def test_multi_cell_grid_matches_single_cell():
+    """Force a 2-cell env grid (MAX_S_BLK=1 at E=256) and compare against
+    the single-cell launch.  Pins the non-aliased copy-in path: aliasing the
+    state buffers in place is miscompiled on multi-cell grids (Mosaic
+    miswindows aliased inputs), which silently corrupted every env at
+    batch sizes where the plane budget split the batch -- e.g. v2/Heavy at
+    4096 envs -- until the kernel switched to copy-in for grids > 1."""
+    logic = _logic("MultiRobotPuzzle-v0")
+    params = logic.default_params()
+    E = 256  # S = 2 sublane tiles
+
+    keys = jr.split(jr.key(7), E)
+    state, _obs = jax.jit(
+        jax.vmap(logic.reset_fast, in_axes=(0, None), out_axes=-1)
+    )(keys, params)
+    a = jnp.asarray(
+        np.random.RandomState(1).uniform(-1, 1, (logic.cfg.act_dim, E)), jnp.float32
+    )
+
+    s_one, o_one, r_one, d_one, _ = jax.jit(logic.step_batched)(state, a, params)
+    solver_pallas.MAX_S_BLK = 1
+    try:
+        s_two, o_two, r_two, d_two, _ = jax.jit(logic.step_batched)(state, a, params)
+    finally:
+        solver_pallas.MAX_S_BLK = None
+
+    np.testing.assert_allclose(
+        np.asarray(s_two.bodies.pos), np.asarray(s_one.bodies.pos), atol=1e-6
+    )
+    np.testing.assert_allclose(np.asarray(o_two), np.asarray(o_one), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(d_two), np.asarray(d_one))
+
+
 def test_contact_scenario_impulses_match():
     """Agent pressed against block: warm-start impulses carried identically."""
     logic = _logic("MultiRobotPuzzle-v0")
