@@ -34,6 +34,49 @@ def restore(path, template, step: int | None = None):
         return mgr.restore(step, args=ocp.args.StandardRestore(abstract))
 
 
+def restore_policy(path, template, step: int | None = None):
+    """Restore ONLY the policy-relevant state -- network params, the obs/ret
+    normalizer moments -- into a TrainState built at a *different* env batch
+    size (the eval analogue of the reference's PPO.load + VecNormalize.load
+    with training=False, test.py:66-74).  Env-batch-shaped leaves (env
+    state, per-env returns, PRNG keys) keep the template's values, so a
+    checkpoint trained at 4096 envs evaluates in a 1-env harness."""
+    import numpy as np
+
+    path = pathlib.Path(path).absolute()
+    if step is None:
+        step = latest_step(path)
+    # Restore as plain numpy via the checkpoint's own metadata tree: ignores
+    # the saved device shardings, so a checkpoint written on TPU at 4096
+    # envs restores on CPU (or any platform) at its saved shapes.
+    item = path / str(step) / "default"
+    ckptr = ocp.PyTreeCheckpointer()
+    meta_tree = ckptr.metadata(item).item_metadata.tree
+    leaves, treedef = jax.tree_util.tree_flatten(meta_tree)
+    restore_args = jax.tree_util.tree_unflatten(
+        treedef, [ocp.RestoreArgs(restore_type=np.ndarray) for _ in leaves]
+    )
+    raw = ckptr.restore(item, args=ocp.args.PyTreeRestore(restore_args=restore_args))
+    norm = template.normalizer
+    saved_norm = raw["normalizer"]
+
+    def graft(rms, saved):
+        return rms.replace(
+            mean=jax.numpy.asarray(saved["mean"]),
+            var=jax.numpy.asarray(saved["var"]),
+            count=jax.numpy.asarray(saved["count"]),
+        )
+
+    return template.replace(
+        params=jax.tree_util.tree_map(jax.numpy.asarray, raw["params"]),
+        normalizer=norm.replace(
+            obs_rms=graft(norm.obs_rms, saved_norm["obs_rms"]),
+            ret_rms=graft(norm.ret_rms, saved_norm["ret_rms"]),
+        ),
+        timesteps=jax.numpy.asarray(raw["timesteps"]),
+    )
+
+
 def latest_step(path):
     path = pathlib.Path(path).absolute()
     with ocp.CheckpointManager(path) as mgr:

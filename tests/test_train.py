@@ -63,6 +63,31 @@ def test_checkpoint_exact_resume(tmp_path):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
 
 
+def test_restore_policy_across_batch_sizes(tmp_path):
+    """The eval analogue of the reference's PPO.load + VecNormalize.load
+    (test.py:66-74): params + normalizer moments restore into a TrainState
+    built at a different n_envs; env-batch leaves keep the template's."""
+    from gym_puzzles_tpu.train import checkpoint as ckpt
+
+    algo = PPO(tiny_cfg())
+    ts = algo.init_state()
+    ts, _ = algo.train_step(ts)
+    ckpt.save(tmp_path / "ck", ts, step=1)
+
+    eval_algo = PPO(tiny_cfg(n_envs=2, n_steps=2, batch_size=4, total_timesteps=4))
+    restored = ckpt.restore_policy(tmp_path / "ck", eval_algo.init_state())
+    for a, b in zip(jax.tree_util.tree_leaves(jax.device_get(restored.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(ts.params))):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(restored.normalizer.obs_rms.mean)),
+        np.asarray(jax.device_get(ts.normalizer.obs_rms.mean)),
+    )
+    # env-batch leaves keep the eval template's shapes
+    assert restored.normalizer.returns.shape == (2,)
+    assert int(restored.timesteps) == int(ts.timesteps)
+
+
 def test_normalizer_stats():
     from gym_puzzles_tpu.train import normalize as nrm
     import jax.numpy as jnp
