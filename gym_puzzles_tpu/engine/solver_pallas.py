@@ -126,6 +126,365 @@ class _Row:
         self.ref[self.off + i] = v
 
 
+class _Ctx:
+    """Static world description shared by the kernel generators."""
+
+    def __init__(self, table: ShapeTable):
+        self.P = table.num_pairs
+        self.B = table.num_bodies
+        self.ia_l = [int(x) for x in table.pair_body_a]
+        self.ib_l = [int(x) for x in table.pair_body_b]
+        self.inv_m = [float(x) for x in table.inv_mass]
+        self.inv_i = [float(x) for x in table.inv_inertia]
+        self.fric = [float(x) for x in table.pair_friction]
+        self.rest = [float(x) for x in table.pair_restitution]
+        self.lcx = [float(x) for x in table.local_center[:, 0]]
+        self.lcy = [float(x) for x in table.local_center[:, 1]]
+        self.dyn = [not bool(s) for s in table.is_static]
+        # done-gate representative: the pair's first dynamic endpoint
+        self.rep = [self.ia_l[p] if self.dyn[self.ia_l[p]] else self.ib_l[p]
+                    for p in range(self.P)]
+        self.dyn_bodies = [b for b in range(self.B) if self.dyn[b]]
+        self.n_dyn = len(self.dyn_bodies)
+        # dynamic-dynamic pairs: the only links island min-propagation needs
+        self.dd_pairs = [p for p in range(self.P)
+                         if self.dyn[self.ia_l[p]] and self.dyn[self.ib_l[p]]]
+
+
+# --------------------------------------------------------------------------
+# Solve-phase generators.  Each emits the math for one sweep against
+# abstract state containers (plain dicts/lists of values in the value-carry
+# mode, _Plane/_Row ref views in the ref mode), so the standalone solve
+# kernel and the fused whole-step kernel share one implementation.
+# --------------------------------------------------------------------------
+
+def _rel_vel(ctx, Cl, Vv, p, j):
+    ia, ib = ctx.ia_l[p], ctx.ib_l[p]
+    dyn = ctx.dyn
+    c = Cl[p]
+    rax, ray = c["rax"][j], c["ray"][j]
+    rbx, rby = c["rbx"][j], c["rby"][j]
+    if dyn[ia] and dyn[ib]:
+        dvx = Vv["vx"][ib] - Vv["om"][ib] * rby \
+            - Vv["vx"][ia] + Vv["om"][ia] * ray
+        dvy = Vv["vy"][ib] + Vv["om"][ib] * rbx \
+            - Vv["vy"][ia] - Vv["om"][ia] * rax
+    elif dyn[ib]:
+        dvx = Vv["vx"][ib] - Vv["om"][ib] * rby
+        dvy = Vv["vy"][ib] + Vv["om"][ib] * rbx
+    else:  # dyn[ia] only (a pair never has two static endpoints)
+        dvx = Vv["om"][ia] * ray - Vv["vx"][ia]
+        dvy = -Vv["vy"][ia] - Vv["om"][ia] * rax
+    return dvx, dvy
+
+
+def _apply_impulse(ctx, Cl, Vv, p, j, px, py):
+    ia, ib = ctx.ia_l[p], ctx.ib_l[p]
+    inv_m, inv_i = ctx.inv_m, ctx.inv_i
+    c = Cl[p]
+    if ctx.dyn[ia]:
+        Vv["vx"][ia] = Vv["vx"][ia] - inv_m[ia] * px
+        Vv["vy"][ia] = Vv["vy"][ia] - inv_m[ia] * py
+        Vv["om"][ia] = Vv["om"][ia] - inv_i[ia] * (
+            c["rax"][j] * py - c["ray"][j] * px)
+    if ctx.dyn[ib]:
+        Vv["vx"][ib] = Vv["vx"][ib] + inv_m[ib] * px
+        Vv["vy"][ib] = Vv["vy"][ib] + inv_m[ib] * py
+        Vv["om"][ib] = Vv["om"][ib] + inv_i[ib] * (
+            c["rbx"][j] * py - c["rby"][j] * px)
+
+
+def _warm_start(ctx, Cw, V, N, T):
+    for p in range(ctx.P):
+        c = Cw[p]
+        for j in range(2):
+            mask = c["act"][j]
+            ni = N[p * 2 + j] * mask
+            ti = T[p * 2 + j] * mask
+            _apply_impulse(ctx, Cw, V, p, j, ni * c["nx"] + ti * c["tx"],
+                           ni * c["ny"] + ti * c["ty"])
+
+
+def _vel_sweep(ctx, Cl, Vv, Nv, Tv):
+    f32 = jnp.float32
+    for p in range(ctx.P):
+        c = Cl[p]
+        nx, ny, tx, ty = c["nx"], c["ny"], c["tx"], c["ty"]
+
+        # friction per point
+        for j in range(2):
+            dvx, dvy = _rel_vel(ctx, Cl, Vv, p, j)
+            vt = dvx * tx + dvy * ty
+            lam = c["tmass"][j] * (-vt)
+            ni = Nv[p * 2 + j]
+            ti = Tv[p * 2 + j]
+            max_f = ctx.fric[p] * ni
+            new_t = jnp.clip(ti + lam, -max_f, max_f)
+            lam = (new_t - ti) * c["act"][j]
+            Tv[p * 2 + j] = ti + lam
+            _apply_impulse(ctx, Cl, Vv, p, j, lam * tx, lam * ty)
+
+        # normal: single-point candidate
+        dv0x, dv0y = _rel_vel(ctx, Cl, Vv, p, 0)
+        vn0 = dv0x * nx + dv0y * ny
+        n0 = Nv[p * 2 + 0]
+        n1 = Nv[p * 2 + 1]
+        lam0 = -c["nmass"][0] * (vn0 - c["bias"][0])
+        d_single = jnp.maximum(n0 + lam0, 0.0) - n0
+
+        # normal: 2x2 block solver
+        dv2x, dv2y = _rel_vel(ctx, Cl, Vv, p, 1)
+        vn2 = dv2x * nx + dv2y * ny
+        b1 = vn0 - c["bias"][0] - (c["k11"] * n0 + c["k12"] * n1)
+        b2 = vn2 - c["bias"][1] - (c["k12"] * n0 + c["k22"] * n1)
+        x1_1 = -(c["im11"] * b1 + c["im12"] * b2)
+        x2_1 = -(c["im12"] * b1 + c["im22"] * b2)
+        ok1 = (x1_1 >= 0.0) & (x2_1 >= 0.0)
+        x1_2 = -c["nmass"][0] * b1
+        ok2 = (x1_2 >= 0.0) & (c["k12"] * x1_2 + b2 >= 0.0)
+        x2_3 = -c["nmass"][1] * b2
+        ok3 = (x2_3 >= 0.0) & (c["k12"] * x2_3 + b1 >= 0.0)
+        ok4 = (b1 >= 0.0) & (b2 >= 0.0)
+        x1 = jnp.where(ok1, x1_1, jnp.where(ok2, x1_2, 0.0))
+        x2 = jnp.where(ok1, x2_1, jnp.where(ok3, x2_3, 0.0))
+        applied = (ok1 | ok2 | ok3 | ok4).astype(f32)
+        d1_blk = applied * (x1 - n0)
+        d2_blk = applied * (x2 - n1)
+
+        d1 = c["use_blk"] * d1_blk + c["one_act"] * d_single
+        d2 = c["use_blk"] * d2_blk
+
+        Nv[p * 2 + 0] = n0 + d1
+        Nv[p * 2 + 1] = n1 + d2
+        _apply_impulse(ctx, Cl, Vv, p, 0, d1 * nx, d1 * ny)
+        _apply_impulse(ctx, Cl, Vv, p, 1, d2 * nx, d2 * ny)
+
+
+def _integrate(ctx, V, PX, PY, AN, act_get, pos_get, store_vel, dt):
+    """Clamped position integration for awake dynamic bodies.  Reads final
+    velocities from V (clamping them in place via store_vel) and writes new
+    positions into the PX/PY/AN containers."""
+    for b in ctx.dyn_bodies:
+        vx, vy, w = V["vx"][b], V["vy"][b], V["om"][b]
+        t2 = (dt * dt) * (vx * vx + vy * vy)
+        scale = jnp.where(
+            t2 > MAX_TRANSLATION**2,
+            MAX_TRANSLATION / jnp.sqrt(jnp.maximum(t2, 1e-30)),
+            1.0,
+        )
+        vx = vx * scale
+        vy = vy * scale
+        rot = dt * w
+        rscale = jnp.where(
+            rot * rot > float(MAX_ROTATION) ** 2,
+            float(MAX_ROTATION) / jnp.abs(rot), 1.0,
+        )
+        w = w * rscale
+        act = act_get(b)
+        store_vel(b, vx, vy, w)
+        px0, py0, an0 = pos_get(b)
+        PX[b] = px0 + act * (dt * vx)
+        PY[b] = py0 + act * (dt * vy)
+        AN[b] = an0 + act * (dt * w)
+
+
+def _static_transforms(ctx, pos_get):
+    """(cos, sin, origin, COM) of every static body: constant through the
+    position solve, so computed once outside the iteration loops."""
+    ST = {}
+    for b in range(ctx.B):
+        if ctx.dyn[b]:
+            continue
+        px0, py0, an0 = pos_get(b)
+        cs, ss = jnp.cos(an0), jnp.sin(an0)
+        if ctx.lcx[b] == 0.0 and ctx.lcy[b] == 0.0:
+            ox, oy = px0, py0
+        else:
+            ox = px0 - (cs * ctx.lcx[b] - ss * ctx.lcy[b])
+            oy = py0 - (ss * ctx.lcx[b] + cs * ctx.lcy[b])
+        ST[b] = (cs, ss, ox, oy, px0, py0)
+    return ST
+
+
+def _pos_sweep(ctx, Cl, ST, PXv, PYv, ANv, DNv, zero):
+    f32 = jnp.float32
+    ia_l, ib_l, dyn = ctx.ia_l, ctx.ib_l, ctx.dyn
+    inv_m, inv_i, lcx, lcy = ctx.inv_m, ctx.inv_i, ctx.lcx, ctx.lcy
+    # per-body min separation accumulators, private to the iteration
+    ms = {b: zero() for b in ctx.dyn_bodies}
+    for p in range(ctx.P):
+        ia, ib = ia_l[p], ib_l[p]
+        c = Cl[p]
+        solve = c["solve"]
+        cnt = c["mcnt"]  # manifold count (not the degraded one)
+        pair_done = jnp.maximum(DNv[ctx.rep[p]], 1.0 - solve)
+
+        # transforms once per contact (b2 semantics); static sides
+        # come from the hoisted constants
+        if dyn[ia]:
+            ca, sa = jnp.cos(ANv[ia]), jnp.sin(ANv[ia])
+            orgax = PXv[ia] - (ca * lcx[ia] - sa * lcy[ia])
+            orgay = PYv[ia] - (sa * lcx[ia] + ca * lcy[ia])
+            pax, pay = PXv[ia], PYv[ia]
+        else:
+            ca, sa, orgax, orgay, pax, pay = ST[ia]
+        if dyn[ib]:
+            cb, sb = jnp.cos(ANv[ib]), jnp.sin(ANv[ib])
+            orgbx = PXv[ib] - (cb * lcx[ib] - sb * lcy[ib])
+            orgby = PYv[ib] - (sb * lcx[ib] + cb * lcy[ib])
+            pbx, pby = PXv[ib], PYv[ib]
+        else:
+            cb, sb, orgbx, orgby, pbx, pby = ST[ib]
+
+        flip = c["flip"]
+        cr = flip * cb + (1.0 - flip) * ca
+        sr = flip * sb + (1.0 - flip) * sa
+        orx = flip * orgbx + (1.0 - flip) * orgax
+        ory = flip * orgby + (1.0 - flip) * orgay
+        ci = flip * ca + (1.0 - flip) * cb
+        si = flip * sa + (1.0 - flip) * sb
+        oix = flip * orgax + (1.0 - flip) * orgbx
+        oiy = flip * orgay + (1.0 - flip) * orgby
+
+        nwx = cr * c["lnx"] - sr * c["lny"]
+        nwy = sr * c["lnx"] + cr * c["lny"]
+        ppx = orx + cr * c["lpx"] - sr * c["lpy"]
+        ppy = ory + sr * c["lpx"] + cr * c["lpy"]
+        sign = c["sign"]  # ensure normal points A -> B
+
+        for j in range(2):
+            track = solve * (cnt > j).astype(f32)
+            active = track * (1.0 - pair_done)
+            mpx, mpy = c["mpx"][j], c["mpy"][j]
+            cpx = oix + ci * mpx - si * mpy
+            cpy = oiy + si * mpx + ci * mpy
+            sep = (cpx - ppx) * nwx + (cpy - ppy) * nwy - TOTAL_RADIUS
+            nabx, naby = sign * nwx, sign * nwy
+
+            if dyn[ia]:
+                ms[ia] = jnp.minimum(ms[ia], jnp.where(track > 0, sep, 0.0))
+            if dyn[ib]:
+                ms[ib] = jnp.minimum(ms[ib], jnp.where(track > 0, sep, 0.0))
+
+            cc = jnp.clip(
+                BAUMGARTE * (sep + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0
+            )
+            # k only collects dynamic endpoints (inv terms of the
+            # static side are exactly zero)
+            k = inv_m[ia] + inv_m[ib]
+            if dyn[ia]:
+                rax = cpx - pax
+                ray = cpy - pay
+                rna = rax * naby - ray * nabx
+                k = k + inv_i[ia] * rna * rna
+            if dyn[ib]:
+                rbx = cpx - pbx
+                rby = cpy - pby
+                rnb = rbx * naby - rby * nabx
+                k = k + inv_i[ib] * rnb * rnb
+            imp = jnp.where(k > 0.0, -cc / jnp.maximum(k, 1e-20), 0.0) * active
+            px, py = imp * nabx, imp * naby
+            if dyn[ia]:
+                PXv[ia] = PXv[ia] - inv_m[ia] * px
+                PYv[ia] = PYv[ia] - inv_m[ia] * py
+                ANv[ia] = ANv[ia] - inv_i[ia] * (rax * py - ray * px)
+                pax, pay = PXv[ia], PYv[ia]
+            if dyn[ib]:
+                PXv[ib] = PXv[ib] + inv_m[ib] * px
+                PYv[ib] = PYv[ib] + inv_m[ib] * py
+                ANv[ib] = ANv[ib] + inv_i[ib] * (rby * px - rbx * py) * (-1.0)
+                pbx, pby = PXv[ib], PYv[ib]
+
+    # island-wide minimum via min-propagation over touching links;
+    # diameter of the dynamic contact graph is < n_dyn
+    for _round in range(max(1, ctx.n_dyn - 1)):
+        for p in ctx.dd_pairs:
+            ia, ib = ia_l[p], ib_l[p]
+            link = Cl[p]["link"]
+            m = jnp.minimum(ms[ia], ms[ib])
+            ms[ia] = link * m + (1.0 - link) * ms[ia]
+            ms[ib] = link * m + (1.0 - link) * ms[ib]
+    for b in ctx.dyn_bodies:
+        DNv[b] = jnp.maximum(
+            DNv[b], (ms[b] >= -3.0 * LINEAR_SLOP).astype(f32)
+        )
+
+
+def _run_vel_phase(ctx, C, mkC, V, N, T, vel_iters, value_carry):
+    """Drive vel_iters velocity sweeps.  Returns the final (V, N, T): new
+    value containers in value mode, the same ref views in ref mode."""
+    if value_carry:
+        dyn_bodies = ctx.dyn_bodies
+
+        def vel_pack(Vv, Nv, Tv):
+            return (tuple(Vv["vx"][b] for b in dyn_bodies),
+                    tuple(Vv["vy"][b] for b in dyn_bodies),
+                    tuple(Vv["om"][b] for b in dyn_bodies),
+                    tuple(Nv), tuple(Tv))
+
+        def vel_unpack(carry):
+            vxs, vys, oms, ns, ts = carry
+            Vv = dict(vx={b: vxs[i] for i, b in enumerate(dyn_bodies)},
+                      vy={b: vys[i] for i, b in enumerate(dyn_bodies)},
+                      om={b: oms[i] for i, b in enumerate(dyn_bodies)})
+            return Vv, list(ns), list(ts)
+
+        def vel_iter(_, carry):
+            Vv, Nv, Tv = vel_unpack(carry)
+            _vel_sweep(ctx, C, Vv, Nv, Tv)
+            return vel_pack(Vv, Nv, Tv)
+
+        return vel_unpack(
+            jax.lax.fori_loop(0, vel_iters, vel_iter, vel_pack(V, N, T))
+        )
+
+    def vel_iter(_, carry):
+        _vel_sweep(ctx, mkC(), V, N, T)
+        return carry
+
+    jax.lax.fori_loop(0, vel_iters, vel_iter, 0)
+    return V, N, T
+
+
+def _run_pos_phase(ctx, C, mkC, ST, PX, PY, AN, DN0, pos_iters, value_carry,
+                   zero):
+    """Drive pos_iters position sweeps.  Returns (PX, PY, AN, DN)."""
+    if value_carry:
+        dyn_bodies = ctx.dyn_bodies
+
+        def pos_pack(PXv, PYv, ANv, DNv):
+            return (tuple(PXv[b] for b in dyn_bodies),
+                    tuple(PYv[b] for b in dyn_bodies),
+                    tuple(ANv[b] for b in dyn_bodies),
+                    tuple(DNv[b] for b in dyn_bodies))
+
+        def pos_unpack(carry):
+            pxs, pys, ans, dns = carry
+            return ({b: pxs[i] for i, b in enumerate(dyn_bodies)},
+                    {b: pys[i] for i, b in enumerate(dyn_bodies)},
+                    {b: ans[i] for i, b in enumerate(dyn_bodies)},
+                    {b: dns[i] for i, b in enumerate(dyn_bodies)})
+
+        def pos_iter(_, carry):
+            PXv, PYv, ANv, DNv = pos_unpack(carry)
+            _pos_sweep(ctx, C, ST, PXv, PYv, ANv, DNv, zero)
+            return pos_pack(PXv, PYv, ANv, DNv)
+
+        return pos_unpack(
+            jax.lax.fori_loop(
+                0, pos_iters, pos_iter,
+                pos_pack(PX, PY, AN, {b: zero() for b in dyn_bodies}),
+            )
+        )
+
+    def pos_iter(_, carry):
+        _pos_sweep(ctx, mkC(), ST, PX, PY, AN, DN0, zero)
+        return carry
+
+    jax.lax.fori_loop(0, pos_iters, pos_iter, 0)
+    return PX, PY, AN, DN0
+
+
 def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int,
                   value_carry: bool = True, aliased: bool = True):
     """Generate the solve kernel for one static world description.
@@ -154,25 +513,12 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int,
     *interpreted* kernel is minutes-faster (the giant loop carry sends the
     CPU backend's live-range/copy passes quadratic), so the CPU equivalence
     tests use this mode.  Both modes run the identical math through the
-    shared sweep closures below; the modes themselves are asserted
+    shared sweep generators above; the modes themselves are asserted
     equivalent on real TPU (docs/BENCHMARKS.md methodology).
     """
-    P = table.num_pairs
-    B = table.num_bodies
-    ia_l = [int(x) for x in table.pair_body_a]
-    ib_l = [int(x) for x in table.pair_body_b]
-    inv_m = [float(x) for x in table.inv_mass]
-    inv_i = [float(x) for x in table.inv_inertia]
-    fric = [float(x) for x in table.pair_friction]
-    lcx = [float(x) for x in table.local_center[:, 0]]
-    lcy = [float(x) for x in table.local_center[:, 1]]
-    dyn = [not bool(s) for s in table.is_static]
-    # done-gate representative: the pair's first dynamic endpoint
-    rep = [ia_l[p] if dyn[ia_l[p]] else ib_l[p] for p in range(P)]
-    dyn_bodies = [b for b in range(B) if dyn[b]]
-    n_dyn = len(dyn_bodies)
-    # dynamic-dynamic pairs: the only links the island min-propagation needs
-    dd_pairs = [p for p in range(P) if dyn[ia_l[p]] and dyn[ib_l[p]]]
+    ctx = _Ctx(table)
+    P, B = ctx.P, ctx.B
+    dyn_bodies = ctx.dyn_bodies
 
     def kernel(pairA_ref, pairB_ref, active_ref, body_in, imp_in,
                body_ref, imp_ref, done_ref):
@@ -186,7 +532,6 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int,
         else:
             body_ref[...] = body_in[...]
             imp_ref[...] = imp_in[...]
-        f32 = jnp.float32
 
         def A(name, p):
             return pairA_ref[PA_IDX[name] * P + p]
@@ -199,7 +544,7 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int,
         # ref mode: rebuilt inside each loop body so no value crosses a
         # loop boundary (VMEM rereads are cheap; XLA:CPU compile stays sane).
         def mkC():
-            return [_mk_pair_consts(A, Bp, p, dd_pairs) for p in range(P)]
+            return [_mk_pair_consts(A, Bp, p, ctx.dd_pairs) for p in range(P)]
 
         C = mkC() if value_carry else None
 
@@ -222,139 +567,16 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int,
             N = _Row(imp_ref, 0)
             T = _Row(imp_ref, 2 * P)
 
-        def rel_vel(Cl, Vv, p, j):
-            ia, ib = ia_l[p], ib_l[p]
-            c = Cl[p]
-            rax, ray = c["rax"][j], c["ray"][j]
-            rbx, rby = c["rbx"][j], c["rby"][j]
-            if dyn[ia] and dyn[ib]:
-                dvx = Vv["vx"][ib] - Vv["om"][ib] * rby \
-                    - Vv["vx"][ia] + Vv["om"][ia] * ray
-                dvy = Vv["vy"][ib] + Vv["om"][ib] * rbx \
-                    - Vv["vy"][ia] - Vv["om"][ia] * rax
-            elif dyn[ib]:
-                dvx = Vv["vx"][ib] - Vv["om"][ib] * rby
-                dvy = Vv["vy"][ib] + Vv["om"][ib] * rbx
-            else:  # dyn[ia] only (a pair never has two static endpoints)
-                dvx = Vv["om"][ia] * ray - Vv["vx"][ia]
-                dvy = -Vv["vy"][ia] - Vv["om"][ia] * rax
-            return dvx, dvy
-
-        def apply_impulse(Cl, Vv, p, j, px, py):
-            ia, ib = ia_l[p], ib_l[p]
-            c = Cl[p]
-            if dyn[ia]:
-                Vv["vx"][ia] = Vv["vx"][ia] - inv_m[ia] * px
-                Vv["vy"][ia] = Vv["vy"][ia] - inv_m[ia] * py
-                Vv["om"][ia] = Vv["om"][ia] - inv_i[ia] * (
-                    c["rax"][j] * py - c["ray"][j] * px)
-            if dyn[ib]:
-                Vv["vx"][ib] = Vv["vx"][ib] + inv_m[ib] * px
-                Vv["vy"][ib] = Vv["vy"][ib] + inv_m[ib] * py
-                Vv["om"][ib] = Vv["om"][ib] + inv_i[ib] * (
-                    c["rbx"][j] * py - c["rby"][j] * px)
-
-        # ---- warm start -------------------------------------------------
-        Cw = C if value_carry else mkC()
-        for p in range(P):
-            c = Cw[p]
-            for j in range(2):
-                mask = c["act"][j]
-                ni = N[p * 2 + j] * mask
-                ti = T[p * 2 + j] * mask
-                apply_impulse(Cw, V, p, j, ni * c["nx"] + ti * c["tx"],
-                              ni * c["ny"] + ti * c["ty"])
-
-        # ---- velocity iterations -----------------------------------------
-        def vel_sweep(Cl, Vv, Nv, Tv):
-            for p in range(P):
-                c = Cl[p]
-                nx, ny, tx, ty = c["nx"], c["ny"], c["tx"], c["ty"]
-
-                # friction per point
-                for j in range(2):
-                    dvx, dvy = rel_vel(Cl, Vv, p, j)
-                    vt = dvx * tx + dvy * ty
-                    lam = c["tmass"][j] * (-vt)
-                    ni = Nv[p * 2 + j]
-                    ti = Tv[p * 2 + j]
-                    max_f = fric[p] * ni
-                    new_t = jnp.clip(ti + lam, -max_f, max_f)
-                    lam = (new_t - ti) * c["act"][j]
-                    Tv[p * 2 + j] = ti + lam
-                    apply_impulse(Cl, Vv, p, j, lam * tx, lam * ty)
-
-                # normal: single-point candidate
-                dv0x, dv0y = rel_vel(Cl, Vv, p, 0)
-                vn0 = dv0x * nx + dv0y * ny
-                n0 = Nv[p * 2 + 0]
-                n1 = Nv[p * 2 + 1]
-                lam0 = -c["nmass"][0] * (vn0 - c["bias"][0])
-                d_single = jnp.maximum(n0 + lam0, 0.0) - n0
-
-                # normal: 2x2 block solver
-                dv2x, dv2y = rel_vel(Cl, Vv, p, 1)
-                vn2 = dv2x * nx + dv2y * ny
-                b1 = vn0 - c["bias"][0] - (c["k11"] * n0 + c["k12"] * n1)
-                b2 = vn2 - c["bias"][1] - (c["k12"] * n0 + c["k22"] * n1)
-                x1_1 = -(c["im11"] * b1 + c["im12"] * b2)
-                x2_1 = -(c["im12"] * b1 + c["im22"] * b2)
-                ok1 = (x1_1 >= 0.0) & (x2_1 >= 0.0)
-                x1_2 = -c["nmass"][0] * b1
-                ok2 = (x1_2 >= 0.0) & (c["k12"] * x1_2 + b2 >= 0.0)
-                x2_3 = -c["nmass"][1] * b2
-                ok3 = (x2_3 >= 0.0) & (c["k12"] * x2_3 + b1 >= 0.0)
-                ok4 = (b1 >= 0.0) & (b2 >= 0.0)
-                x1 = jnp.where(ok1, x1_1, jnp.where(ok2, x1_2, 0.0))
-                x2 = jnp.where(ok1, x2_1, jnp.where(ok3, x2_3, 0.0))
-                applied = (ok1 | ok2 | ok3 | ok4).astype(f32)
-                d1_blk = applied * (x1 - n0)
-                d2_blk = applied * (x2 - n1)
-
-                d1 = c["use_blk"] * d1_blk + c["one_act"] * d_single
-                d2 = c["use_blk"] * d2_blk
-
-                Nv[p * 2 + 0] = n0 + d1
-                Nv[p * 2 + 1] = n1 + d2
-                apply_impulse(Cl, Vv, p, 0, d1 * nx, d1 * ny)
-                apply_impulse(Cl, Vv, p, 1, d2 * nx, d2 * ny)
+        # ---- warm start + velocity iterations ---------------------------
+        _warm_start(ctx, C if value_carry else mkC(), V, N, T)
+        V, N, T = _run_vel_phase(ctx, C, mkC, V, N, T, vel_iters, value_carry)
 
         if value_carry:
-            # state rides the fori carry as values
-            def vel_pack(Vv, Nv, Tv):
-                return (tuple(Vv["vx"][b] for b in dyn_bodies),
-                        tuple(Vv["vy"][b] for b in dyn_bodies),
-                        tuple(Vv["om"][b] for b in dyn_bodies),
-                        tuple(Nv), tuple(Tv))
-
-            def vel_unpack(carry):
-                vxs, vys, oms, ns, ts = carry
-                Vv = dict(vx={b: vxs[i] for i, b in enumerate(dyn_bodies)},
-                          vy={b: vys[i] for i, b in enumerate(dyn_bodies)},
-                          om={b: oms[i] for i, b in enumerate(dyn_bodies)})
-                return Vv, list(ns), list(ts)
-
-            def vel_iter(_, carry):
-                Vv, Nv, Tv = vel_unpack(carry)
-                vel_sweep(C, Vv, Nv, Tv)
-                return vel_pack(Vv, Nv, Tv)
-
-            V, N, T = vel_unpack(
-                jax.lax.fori_loop(0, vel_iters, vel_iter, vel_pack(V, N, T))
-            )
-
             # store impulses (b2ContactSolver::StoreImpulses)
             for p in range(P):
                 for j in range(2):
                     imp_ref[(0 * P + p) * 2 + j] = N[p * 2 + j]
                     imp_ref[(1 * P + p) * 2 + j] = T[p * 2 + j]
-        else:
-            # state lives in the refs; the views write through on every op
-            def vel_iter(_, carry):
-                vel_sweep(mkC(), V, N, T)
-                return carry
-
-            jax.lax.fori_loop(0, vel_iters, vel_iter, 0)
 
         # ---- integrate positions (clamped; awake bodies only) -----------
         if value_carry:
@@ -363,188 +585,37 @@ def _build_kernel(table: ShapeTable, dt: float, vel_iters: int, pos_iters: int,
             PX = _Plane(body_ref, POSX)
             PY = _Plane(body_ref, POSY)
             AN = _Plane(body_ref, ANG)
-        for b in dyn_bodies:
-            vx, vy, w = V["vx"][b], V["vy"][b], V["om"][b]
-            t2 = (dt * dt) * (vx * vx + vy * vy)
-            scale = jnp.where(
-                t2 > MAX_TRANSLATION**2,
-                MAX_TRANSLATION / jnp.sqrt(jnp.maximum(t2, 1e-30)),
-                1.0,
-            )
-            vx = vx * scale
-            vy = vy * scale
-            rot = dt * w
-            rscale = jnp.where(
-                rot * rot > float(MAX_ROTATION) ** 2,
-                float(MAX_ROTATION) / jnp.abs(rot), 1.0,
-            )
-            w = w * rscale
-            act = active_ref[b]
+
+        def store_vel(b, vx, vy, w):
             body_ref[VELX, b] = vx
             body_ref[VELY, b] = vy
             body_ref[OM, b] = w
-            PX[b] = body_ref[POSX, b] + act * (dt * vx)
-            PY[b] = body_ref[POSY, b] + act * (dt * vy)
-            AN[b] = body_ref[ANG, b] + act * (dt * w)
 
-        # ---- static transforms: constant through the position solve -----
-        ST = {}
-        for b in range(B):
-            if dyn[b]:
-                continue
-            cs, ss = jnp.cos(body_ref[ANG, b]), jnp.sin(body_ref[ANG, b])
-            if lcx[b] == 0.0 and lcy[b] == 0.0:
-                ox, oy = body_ref[POSX, b], body_ref[POSY, b]
-            else:
-                ox = body_ref[POSX, b] - (cs * lcx[b] - ss * lcy[b])
-                oy = body_ref[POSY, b] - (ss * lcx[b] + cs * lcy[b])
-            ST[b] = (cs, ss, ox, oy, body_ref[POSX, b], body_ref[POSY, b])
+        def pos_get(b):
+            return body_ref[POSX, b], body_ref[POSY, b], body_ref[ANG, b]
 
-        # ---- position iterations with per-island early exit -------------
+        _integrate(ctx, V, PX, PY, AN, lambda b: active_ref[b], pos_get,
+                   store_vel, dt)
+
+        # ---- static transforms + position iterations --------------------
+        ST = _static_transforms(ctx, pos_get)
         for b in range(B):
             done_ref[b] = jnp.zeros_like(done_ref[b])
 
-        def pos_sweep(Cl, PXv, PYv, ANv, DNv):
-            # per-body min separation accumulators, private to the iteration
-            ms = {b: jnp.zeros_like(done_ref[0]) for b in dyn_bodies}
-            for p in range(P):
-                ia, ib = ia_l[p], ib_l[p]
-                c = Cl[p]
-                solve = c["solve"]
-                cnt = c["mcnt"]  # manifold count (not the degraded one)
-                pair_done = jnp.maximum(DNv[rep[p]], 1.0 - solve)
-
-                # transforms once per contact (b2 semantics); static sides
-                # come from the hoisted constants
-                if dyn[ia]:
-                    ca, sa = jnp.cos(ANv[ia]), jnp.sin(ANv[ia])
-                    orgax = PXv[ia] - (ca * lcx[ia] - sa * lcy[ia])
-                    orgay = PYv[ia] - (sa * lcx[ia] + ca * lcy[ia])
-                    pax, pay = PXv[ia], PYv[ia]
-                else:
-                    ca, sa, orgax, orgay, pax, pay = ST[ia]
-                if dyn[ib]:
-                    cb, sb = jnp.cos(ANv[ib]), jnp.sin(ANv[ib])
-                    orgbx = PXv[ib] - (cb * lcx[ib] - sb * lcy[ib])
-                    orgby = PYv[ib] - (sb * lcx[ib] + cb * lcy[ib])
-                    pbx, pby = PXv[ib], PYv[ib]
-                else:
-                    cb, sb, orgbx, orgby, pbx, pby = ST[ib]
-
-                flip = c["flip"]
-                cr = flip * cb + (1.0 - flip) * ca
-                sr = flip * sb + (1.0 - flip) * sa
-                orx = flip * orgbx + (1.0 - flip) * orgax
-                ory = flip * orgby + (1.0 - flip) * orgay
-                ci = flip * ca + (1.0 - flip) * cb
-                si = flip * sa + (1.0 - flip) * sb
-                oix = flip * orgax + (1.0 - flip) * orgbx
-                oiy = flip * orgay + (1.0 - flip) * orgby
-
-                nwx = cr * c["lnx"] - sr * c["lny"]
-                nwy = sr * c["lnx"] + cr * c["lny"]
-                ppx = orx + cr * c["lpx"] - sr * c["lpy"]
-                ppy = ory + sr * c["lpx"] + cr * c["lpy"]
-                sign = c["sign"]  # ensure normal points A -> B
-
-                for j in range(2):
-                    track = solve * (cnt > j).astype(f32)
-                    active = track * (1.0 - pair_done)
-                    mpx, mpy = c["mpx"][j], c["mpy"][j]
-                    cpx = oix + ci * mpx - si * mpy
-                    cpy = oiy + si * mpx + ci * mpy
-                    sep = (cpx - ppx) * nwx + (cpy - ppy) * nwy - TOTAL_RADIUS
-                    nabx, naby = sign * nwx, sign * nwy
-
-                    if dyn[ia]:
-                        ms[ia] = jnp.minimum(ms[ia], jnp.where(track > 0, sep, 0.0))
-                    if dyn[ib]:
-                        ms[ib] = jnp.minimum(ms[ib], jnp.where(track > 0, sep, 0.0))
-
-                    cc = jnp.clip(
-                        BAUMGARTE * (sep + LINEAR_SLOP), -MAX_LINEAR_CORRECTION, 0.0
-                    )
-                    # k only collects dynamic endpoints (inv terms of the
-                    # static side are exactly zero)
-                    k = inv_m[ia] + inv_m[ib]
-                    if dyn[ia]:
-                        rax = cpx - pax
-                        ray = cpy - pay
-                        rna = rax * naby - ray * nabx
-                        k = k + inv_i[ia] * rna * rna
-                    if dyn[ib]:
-                        rbx = cpx - pbx
-                        rby = cpy - pby
-                        rnb = rbx * naby - rby * nabx
-                        k = k + inv_i[ib] * rnb * rnb
-                    imp = jnp.where(k > 0.0, -cc / jnp.maximum(k, 1e-20), 0.0) * active
-                    px, py = imp * nabx, imp * naby
-                    if dyn[ia]:
-                        PXv[ia] = PXv[ia] - inv_m[ia] * px
-                        PYv[ia] = PYv[ia] - inv_m[ia] * py
-                        ANv[ia] = ANv[ia] - inv_i[ia] * (rax * py - ray * px)
-                        pax, pay = PXv[ia], PYv[ia]
-                    if dyn[ib]:
-                        PXv[ib] = PXv[ib] + inv_m[ib] * px
-                        PYv[ib] = PYv[ib] + inv_m[ib] * py
-                        ANv[ib] = ANv[ib] + inv_i[ib] * (rby * px - rbx * py) * (-1.0)
-                        pbx, pby = PXv[ib], PYv[ib]
-
-            # island-wide minimum via min-propagation over touching links;
-            # diameter of the dynamic contact graph is < n_dyn
-            for _round in range(max(1, n_dyn - 1)):
-                for p in dd_pairs:
-                    ia, ib = ia_l[p], ib_l[p]
-                    link = Cl[p]["link"]
-                    m = jnp.minimum(ms[ia], ms[ib])
-                    ms[ia] = link * m + (1.0 - link) * ms[ia]
-                    ms[ib] = link * m + (1.0 - link) * ms[ib]
-            for b in dyn_bodies:
-                DNv[b] = jnp.maximum(
-                    DNv[b], (ms[b] >= -3.0 * LINEAR_SLOP).astype(f32)
-                )
-
+        zero = lambda: jnp.zeros_like(done_ref[0])
+        DN0 = None if value_carry else _Row(done_ref)
+        PX, PY, AN, DN = _run_pos_phase(
+            ctx, C, mkC, ST, PX, PY, AN, DN0, pos_iters, value_carry, zero
+        )
         if value_carry:
-            def pos_pack(PXv, PYv, ANv, DNv):
-                return (tuple(PXv[b] for b in dyn_bodies),
-                        tuple(PYv[b] for b in dyn_bodies),
-                        tuple(ANv[b] for b in dyn_bodies),
-                        tuple(DNv[b] for b in dyn_bodies))
-
-            def pos_unpack(carry):
-                pxs, pys, ans, dns = carry
-                return ({b: pxs[i] for i, b in enumerate(dyn_bodies)},
-                        {b: pys[i] for i, b in enumerate(dyn_bodies)},
-                        {b: ans[i] for i, b in enumerate(dyn_bodies)},
-                        {b: dns[i] for i, b in enumerate(dyn_bodies)})
-
-            def pos_iter(_, carry):
-                PXv, PYv, ANv, DNv = pos_unpack(carry)
-                pos_sweep(C, PXv, PYv, ANv, DNv)
-                return pos_pack(PXv, PYv, ANv, DNv)
-
-            PX, PY, AN, DN = pos_unpack(
-                jax.lax.fori_loop(
-                    0, pos_iters, pos_iter,
-                    pos_pack(PX, PY, AN, {b: jnp.zeros_like(done_ref[0])
-                                          for b in dyn_bodies}),
-                )
-            )
             for b in dyn_bodies:
                 body_ref[POSX, b] = PX[b]
                 body_ref[POSY, b] = PY[b]
                 body_ref[ANG, b] = AN[b]
                 done_ref[b] = DN[b]
-        else:
-            DN = _Row(done_ref)
-
-            def pos_iter(_, carry):
-                pos_sweep(mkC(), PX, PY, AN, DN)
-                return carry
-
-            jax.lax.fori_loop(0, pos_iters, pos_iter, 0)
 
     return kernel
+
 
 
 def _tile(x, S):
