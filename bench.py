@@ -29,8 +29,9 @@ def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5):
 
     enable_compilation_cache()
 
-    # the Pallas (VMEM-resident solver) backend is the TPU throughput path
-    backend = "pallas" if num_envs % 128 == 0 else "xla"
+    # the fused Pallas backend (whole engine tick in one VMEM-resident
+    # kernel) is the TPU throughput path
+    backend = "fused" if num_envs % 128 == 0 else "xla"
     env = make("MultiRobotPuzzle-v0", num_envs=num_envs, backend=backend)
     params = env.default_params()
 

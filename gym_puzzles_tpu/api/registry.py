@@ -99,8 +99,10 @@ def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
          block_shape: str = "t") -> VectorEnv:
     """Build a batched env.  ``reset_mode='reference'`` reproduces the
     reference's reset-takes-a-random-step contract exactly (00.py:411).
-    ``backend='pallas'`` runs the contact solve in the VMEM-resident TPU
-    kernel (the throughput path; requires num_envs % 128 == 0).
+    ``backend='fused'`` runs the ENTIRE engine tick (narrow phase through
+    sleep) in one VMEM-resident TPU kernel -- the throughput path;
+    ``backend='pallas'`` fuses only the contact solve (both require
+    num_envs % 128 == 0).
     ``block_shape`` selects the puzzle block geometry 't'|'l'|'i'
     (blocks.py:15; obs dim shrinks with the dedup'd vertex count)."""
     block_shape = _normalize_block_shape(block_shape)

@@ -63,8 +63,8 @@ class VectorEnv:
                  backend: str = "xla"):
         assert reset_mode in ("fast", "reference")
         assert batch_axis in (0, -1)
-        assert backend in ("xla", "pallas")
-        if backend == "pallas":
+        assert backend in ("xla", "pallas", "fused")
+        if backend in ("pallas", "fused"):
             assert batch_axis == -1, "pallas backend requires lane-major layout"
             assert num_envs % 128 == 0, "pallas backend needs num_envs % 128 == 0"
         self.logic = logic
@@ -93,7 +93,11 @@ class VectorEnv:
         @jax.jit
         def _step(vstate, action, params):
             act = action.T if ax == -1 else action  # user passes [E, act_dim]
-            if backend == "pallas":
+            if backend == "fused":
+                state, obs, reward, done, info = logic.step_fused(
+                    vstate.env, act, params
+                )
+            elif backend == "pallas":
                 state, obs, reward, done, info = logic.step_batched(
                     vstate.env, act, params
                 )

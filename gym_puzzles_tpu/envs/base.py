@@ -147,6 +147,23 @@ class PuzzleEnvLogic:
             self._finish, in_axes=(-1, -1, -1, -1, -1, None), out_axes=-1
         )(state, bodies, contacts, goal_contact, wall_contact, params)
 
+    def step_fused(self, state: cm.EnvState, action, params: RewardParams):
+        """Batched step (trailing env axis) with the whole engine tick --
+        narrow phase through sleep -- in ONE Pallas kernel
+        (engine/step_pallas.py).  Same semantics as step_batched; used by
+        VectorEnv(backend='fused')."""
+        action = jnp.asarray(action, F)  # [act_dim, E]
+        bodies, force, torque, wake = jax.vmap(
+            self._control, in_axes=(-1, -1), out_axes=-1
+        )(state, action)
+        bodies, contacts, goal_contact, wall_contact = cm.physics_fused(
+            self.layout, self.cfg, bodies, state.contacts, force, torque, wake,
+            state.goal_contact, state.wall_contact,
+        )
+        return jax.vmap(
+            self._finish, in_axes=(-1, -1, -1, -1, -1, None), out_axes=-1
+        )(state, bodies, contacts, goal_contact, wall_contact, params)
+
     def _finish(self, state, bodies, contacts, goal_contact, wall_contact,
                 params: RewardParams):
         """Post-physics: distances, obs, reward, termination, state assembly."""

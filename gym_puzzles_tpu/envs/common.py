@@ -137,6 +137,33 @@ def uniform(key, lo, hi, shape=()):
     return jax.random.uniform(key, shape, F, minval=lo, maxval=hi)
 
 
+def physics_fused(layout: WorldLayout, cfg, bodies, contacts,
+                  force, torque, wake, goal_contact, wall_contact):
+    """Like :func:`physics_batched`, but with the entire engine tick fused
+    into one Pallas kernel (engine/step_pallas.py)."""
+    import jax
+
+    from gym_puzzles_tpu.engine import step_pallas as stp
+
+    flags = jax.vmap(
+        update_contact_flags, in_axes=(None, -1, -1, -1), out_axes=-1
+    )
+    bodies, contacts, info = stp.step_fused(
+        layout.table, bodies, contacts, force, torque, wake,
+        cfg.dt, cfg.velocity_iters, cfg.position_iters,
+    )
+    goal_contact, wall_contact = flags(layout, info, goal_contact, wall_contact)
+    no_wake = jnp.zeros_like(wake)
+    for _ in range(cfg.frameskip - 1):
+        bodies, contacts, info = stp.step_fused(
+            layout.table, bodies, contacts,
+            jnp.zeros_like(force), jnp.zeros_like(torque), no_wake,
+            cfg.dt, cfg.velocity_iters, cfg.position_iters,
+        )
+        goal_contact, wall_contact = flags(layout, info, goal_contact, wall_contact)
+    return bodies, contacts, goal_contact, wall_contact
+
+
 def physics_batched(layout: WorldLayout, cfg, bodies, contacts,
                     force, torque, wake, goal_contact, wall_contact):
     """Batched (trailing-env-axis) physics via the Pallas solver kernel;

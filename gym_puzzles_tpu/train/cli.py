@@ -30,9 +30,12 @@ def build_parser():
     p.add_argument("--resume", default=None, type=str, help="checkpoint dir to resume")
     p.add_argument("--distributed", action="store_true",
                    help="shard the env batch over all local devices")
-    p.add_argument("--env_backend", default=None, choices=["xla", "pallas"],
-                   help="engine backend: pallas = VMEM-resident solve "
-                        "kernel (TPU throughput path, n_envs %% 128 == 0)")
+    p.add_argument("--env_backend", default=None,
+                   choices=["xla", "pallas", "fused"],
+                   help="engine backend: fused = whole engine tick in one "
+                        "VMEM-resident kernel (TPU throughput path), pallas "
+                        "= Pallas contact solve only; both need "
+                        "n_envs %% 128 == 0")
     p.add_argument("--log_interval", default=1, type=int)
     # PPO hparams (parsers.py:78-131)
     for name, typ in [

@@ -84,6 +84,29 @@ def test_multi_cell_grid_matches_single_cell():
     np.testing.assert_array_equal(np.asarray(d_two), np.asarray(d_one))
 
 
+def test_fused_step_traces():
+    """The fused whole-step kernel (engine/step_pallas.py) traces with the
+    right output structure.  Numerics are pinned on real TPU — the fused
+    path is bitwise-identical to step_batched there
+    (docs/benchmarks/validate_fused.py; XLA:CPU cannot compile the
+    interpreted value-carry kernel in reasonable time, so no interpret run
+    here)."""
+    logic = _logic("MultiRobotPuzzle-v0")
+    params = logic.default_params()
+    E = 128
+    keys = jr.split(jr.key(0), E)
+    state, _obs = jax.jit(
+        jax.vmap(logic.reset_fast, in_axes=(0, None), out_axes=-1)
+    )(keys, params)
+    a = jnp.zeros((logic.cfg.act_dim, E), jnp.float32)
+    s, obs, reward, done, info = jax.eval_shape(logic.step_fused, state, a, params)
+    assert obs.shape == (logic.cfg.obs_dim, E)
+    assert reward.shape == (E,)
+    assert done.dtype == jnp.bool_
+    ref = jax.eval_shape(logic.step_batched, state, a, params)
+    assert jax.tree_util.tree_structure(s) == jax.tree_util.tree_structure(ref[0])
+
+
 def test_contact_scenario_impulses_match():
     """Agent pressed against block: warm-start impulses carried identically."""
     logic = _logic("MultiRobotPuzzle-v0")
