@@ -142,7 +142,9 @@ class DistributedPPO:
         total = total_timesteps or cfg.total_timesteps
         ts = self.init_state() if state is None else state
         per_update = cfg.n_steps * cfg.n_envs
-        for u in range(max(1, total // per_update)):
+        n_updates = max(1, total // per_update)
+        for u in range(n_updates):
+            ts = self.ppo.apply_curriculum(ts, u, n_updates)
             ts, metrics = self.train_step(ts)
             if log_fn is not None:
                 log_fn(u, jax.device_get(metrics))

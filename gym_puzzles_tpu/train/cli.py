@@ -30,6 +30,12 @@ def build_parser():
     p.add_argument("--resume", default=None, type=str, help="checkpoint dir to resume")
     p.add_argument("--distributed", action="store_true",
                    help="shard the env batch over all local devices")
+    p.add_argument("--update_params_decay", default=None, type=float,
+                   help="per-update reward decay (the reference trainer's "
+                        "env.update_params(timestep, decay) hook)")
+    p.add_argument("--update_goal", action="store_true",
+                   help="shrink the goal epsilon over training (the "
+                        "reference's env.update_goal(epoch, nb_epochs))")
     p.add_argument("--env_backend", default=None,
                    choices=["xla", "pallas", "fused"],
                    help="engine backend: fused = whole engine tick in one "
@@ -70,6 +76,10 @@ def main(argv=None):
         overrides["n_envs"] = args.n_envs
     if args.env_backend:
         overrides["env_backend"] = args.env_backend
+    if args.update_params_decay is not None:
+        overrides["update_params_decay"] = args.update_params_decay
+    if args.update_goal:
+        overrides["update_goal"] = True
     overrides["seed"] = args.seed
     overrides["total_timesteps"] = args.total_timesteps
 

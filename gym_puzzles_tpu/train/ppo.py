@@ -53,9 +53,17 @@ class PPOConfig:
     normalize: bool = True
     seed: int = 17
     total_timesteps: int = 1_000_000
-    # env backend: 'pallas' = VMEM-resident solver kernel (TPU throughput
-    # path, needs n_envs % 128 == 0); 'xla' = portable default
+    # env backend: 'fused' = whole engine tick in one VMEM-resident kernel
+    # (TPU throughput path), 'pallas' = Pallas contact solve only (both
+    # need n_envs % 128 == 0); 'xla' = portable default
     env_backend: str = "xla"
+    # Reward curriculum, the reference trainer's contract (SURVEY §3.3):
+    # update_params(timestep, decay) scales the shaped penalties/completion
+    # reward each update (02.py:227-230); update_goal(epoch, nb_epochs)
+    # shrinks the goal epsilon over training (00.py:245-246).  env params
+    # ride TrainState, so schedule updates never recompile the train step.
+    update_params_decay: float | None = None
+    update_goal: bool = False
 
     @staticmethod
     def from_reference_json(config: dict, **overrides) -> "PPOConfig":
@@ -90,6 +98,7 @@ class TrainState:
     ep_len: Any  # [E]
     stat_return: Any  # [] EMA of completed episode returns
     stat_count: Any
+    env_params: Any  # RewardParams pytree -- curriculum state (quirk #7 hooks)
 
 
 @struct.dataclass
@@ -157,6 +166,7 @@ class PPO:
             ep_len=jnp.zeros((cfg.n_envs,), jnp.int32),
             stat_return=jnp.asarray(0.0, jnp.float32),
             stat_count=jnp.asarray(0.0, jnp.float32),
+            env_params=jax.tree_util.tree_map(jnp.asarray, self.env_params),
         )
 
     # ------------------------------------------------------------------
@@ -170,7 +180,6 @@ class PPO:
         env = self.env
         net = self.net
         tx = self.tx
-        env_params = self.env_params
         # VecNormalize semantics: obs normalization only for flat obs (SB3
         # image runs use norm_obs=False); reward normalization either way.
         use_obs_norm = cfg.normalize and self.obs_shape is None
@@ -182,7 +191,7 @@ class PPO:
         def psum(x):
             return jax.lax.psum(x, axis_name) if axis_name else x
 
-        def make_rollout_step(params):
+        def make_rollout_step(params, env_params):
             def rollout_step(carry, _):
                 vstate, last_obs, norm, key, ep_ret, ep_len, stat_r, stat_c = carry
                 if use_obs_norm:
@@ -247,7 +256,8 @@ class PPO:
             carry = (ts.vstate, ts.last_obs, ts.normalizer, local_key,
                      ts.ep_return, ts.ep_len, ts.stat_return, ts.stat_count)
             carry, traj = jax.lax.scan(
-                make_rollout_step(ts.params), carry, None, length=cfg.n_steps
+                make_rollout_step(ts.params, ts.env_params), carry, None,
+                length=cfg.n_steps
             )
             vstate, last_obs, norm, key, ep_ret, ep_len, stat_r, stat_c = carry
             if axis_name:
@@ -371,6 +381,7 @@ class PPO:
                 ep_len=ep_len,
                 stat_return=stat_r,
                 stat_count=stat_c,
+                env_params=ts.env_params,
             )
             return new_ts, out_metrics
 
@@ -380,6 +391,20 @@ class PPO:
     def train_step(self, ts: TrainState):
         return self._train_step(ts)
 
+    def apply_curriculum(self, ts: TrainState, update: int, n_updates: int):
+        """The reference trainer's per-epoch hooks (SURVEY §3.3): decay the
+        shaped rewards (`update_params`, 02.py:227-230) and shrink the goal
+        epsilon (`update_goal`, 00.py:245-246).  env params live in
+        TrainState as traced arrays, so this never recompiles."""
+        cfg = self.cfg
+        p = ts.env_params
+        if cfg.update_params_decay is not None:
+            p = p.update_params(ts.timesteps, cfg.update_params_decay)
+        if cfg.update_goal:
+            base = float(self.env_params.scaled_epsilon)
+            p = p.update_goal(update, max(1, n_updates), base)
+        return ts.replace(env_params=p) if p is not ts.env_params else ts
+
     def learn(self, total_timesteps=None, log_fn=None, state=None):
         cfg = self.cfg
         total = total_timesteps or cfg.total_timesteps
@@ -387,6 +412,7 @@ class PPO:
         per_update = cfg.n_steps * cfg.n_envs
         n_updates = max(1, total // per_update)
         for u in range(n_updates):
+            ts = self.apply_curriculum(ts, u, n_updates)
             ts, metrics = self.train_step(ts)
             if log_fn is not None:
                 log_fn(u, jax.device_get(metrics))

@@ -88,6 +88,24 @@ def test_restore_policy_across_batch_sizes(tmp_path):
     assert int(restored.timesteps) == int(ts.timesteps)
 
 
+def test_curriculum_hooks_run_without_recompile():
+    """The reference trainer's update_params/update_goal hooks (SURVEY §3.3,
+    02.py:227-233) drive RewardParams through TrainState: values change every
+    update, the jitted train step never retraces."""
+    cfg = tiny_cfg(env_id="MultiRobotPuzzle-v2", n_envs=4, n_steps=4,
+                   batch_size=8, n_epochs=1, total_timesteps=2 * 4 * 4,
+                   update_params_decay=0.999, update_goal=True)
+    algo = PPO(cfg)
+    ts0 = algo.init_state()
+    eps0 = float(jax.device_get(ts0.env_params.scaled_epsilon))
+    shaped0 = float(jax.device_get(ts0.env_params.shaped_puzzle_reward))
+    ts = algo.learn(state=ts0)
+    assert float(jax.device_get(ts.env_params.scaled_epsilon)) != eps0
+    assert float(jax.device_get(ts.env_params.shaped_puzzle_reward)) != shaped0
+    if hasattr(algo._train_step, "_cache_size"):
+        assert algo._train_step._cache_size() == 1  # no retrace across updates
+
+
 def test_normalizer_stats():
     from gym_puzzles_tpu.train import normalize as nrm
     import jax.numpy as jnp
