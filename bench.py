@@ -23,7 +23,8 @@ import jax.numpy as jnp
 from jax import lax
 
 
-def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5):
+def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5,
+         env_id: str = "MultiRobotPuzzle-v0"):
     from gym_puzzles_tpu.api.registry import make
     from gym_puzzles_tpu.utils import enable_compilation_cache
 
@@ -32,7 +33,7 @@ def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5):
     # the fused Pallas backend (whole engine tick in one VMEM-resident
     # kernel) is the TPU throughput path
     backend = "fused" if num_envs % 128 == 0 else "xla"
-    env = make("MultiRobotPuzzle-v0", num_envs=num_envs, backend=backend)
+    env = make(env_id, num_envs=num_envs, backend=backend)
     params = env.default_params()
 
     key = jax.random.key(0)
@@ -79,4 +80,5 @@ def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5):
 
 if __name__ == "__main__":
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    main(num_envs=num_envs)
+    env_id = sys.argv[2] if len(sys.argv) > 2 else "MultiRobotPuzzle-v0"
+    main(num_envs=num_envs, env_id=env_id)
