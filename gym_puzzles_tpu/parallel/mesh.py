@@ -137,6 +137,9 @@ class DistributedPPO:
     def train_step(self, ts: TrainState):
         return self._step(ts)
 
+    def set_hparams(self, ts: TrainState, **kw):
+        return self.ppo.set_hparams(ts, **kw)
+
     def learn(self, total_timesteps=None, log_fn=None, state=None):
         cfg = self.cfg
         total = total_timesteps or cfg.total_timesteps

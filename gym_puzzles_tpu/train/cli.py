@@ -33,6 +33,8 @@ def build_parser():
     p.add_argument("--update_params_decay", default=None, type=float,
                    help="per-update reward decay (the reference trainer's "
                         "env.update_params(timestep, decay) hook)")
+    p.add_argument("--anneal_lr", action="store_true",
+                   help="linear lr decay over the run (dynamic -- no recompile)")
     p.add_argument("--update_goal", action="store_true",
                    help="shrink the goal epsilon over training (the "
                         "reference's env.update_goal(epoch, nb_epochs))")
@@ -80,6 +82,8 @@ def main(argv=None):
         overrides["update_params_decay"] = args.update_params_decay
     if args.update_goal:
         overrides["update_goal"] = True
+    if args.anneal_lr:
+        overrides["anneal_lr"] = True
     overrides["seed"] = args.seed
     overrides["total_timesteps"] = args.total_timesteps
 

@@ -58,6 +58,60 @@ def evaluate_policy(algo, train_state, n_episodes: int = 10, deterministic: bool
     return float(np.mean(returns)), float(np.std(returns)), returns
 
 
+def evaluate_policy_batched(algo, train_state, n_episodes: int = 64,
+                            deterministic: bool = True, seed: int = 0,
+                            max_steps: int | None = None, env_params=None):
+    """On-device evaluation: one episode per env lane, the whole rollout one
+    ``lax.scan`` -- a single device round-trip instead of
+    ``evaluate_policy``'s per-step host sync, so sweeps can afford honest
+    deterministic evaluation after every trial.  Episodes beyond their
+    ``done`` are masked out of the return sum (auto_reset off).
+
+    -> (mean_return, std_return, returns list) over ``n_episodes`` episodes
+    with i.i.d. spawn/goal randomness (per-lane PRNG keys).
+    """
+    from gym_puzzles_tpu.api.registry import make
+    from gym_puzzles_tpu.train import normalize as nrm
+
+    cfg = algo.cfg
+    env = make(cfg.env_id, num_envs=n_episodes, auto_reset=False,
+               reset_mode="reference")
+    params = env_params if env_params is not None else env.default_params()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    net = algo.net
+    max_steps = max_steps or env.cfg.max_episode_steps
+
+    @jax.jit
+    def run(net_params, norm_st, key, params):
+        k_reset, k_act = jax.random.split(key)
+        vstate, obs = env.reset(k_reset, params)
+
+        def step(carry, k):
+            vstate, obs, finished, total = carry
+            _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+            mean, log_std, _v = net.apply(net_params, n_obs)
+            if deterministic:
+                act = mean
+            else:
+                act = mean + jnp.exp(log_std) * jax.random.normal(k, mean.shape)
+            act = jnp.clip(act, -1.0, 1.0)
+            vstate, obs, reward, done, _ = env._step_fn(vstate, act, params)
+            total = total + jnp.where(finished, 0.0, reward)
+            finished = finished | done
+            return (vstate, obs, finished, total), None
+
+        init = (vstate, obs, jnp.zeros((n_episodes,), bool),
+                jnp.zeros((n_episodes,), jnp.float32))
+        keys = jax.random.split(k_act, max_steps)
+        (_, _, finished, total), _ = jax.lax.scan(step, init, keys)
+        return total, finished
+
+    total, _fin = run(train_state.params, train_state.normalizer,
+                      jax.random.key(seed), params)
+    totals = np.asarray(jax.device_get(total))
+    return float(totals.mean()), float(totals.std()), totals.tolist()
+
+
 def record_video(algo, train_state, path: str, n_steps: int = 300, seed: int = 0,
                  mode: str = "human_vision", fps: int = 50):
     """Roll one episode and save frames.  Writes ``path``.npz always and

@@ -64,6 +64,9 @@ class PPOConfig:
     # ride TrainState, so schedule updates never recompile the train step.
     update_params_decay: float | None = None
     update_goal: bool = False
+    # Linear lr decay over the run (SB3's `learning_rate=linear_schedule`).
+    # Implemented via the dynamic HParams pytree -- no recompiles.
+    anneal_lr: bool = False
 
     @staticmethod
     def from_reference_json(config: dict, **overrides) -> "PPOConfig":
@@ -86,6 +89,43 @@ class PPOConfig:
 
 
 @struct.dataclass
+class HParams:
+    """Optimization hyperparameters as DYNAMIC scalars riding TrainState.
+
+    The wandb sweep the reference ships (train/sweep-bayes.yml) searches
+    exactly these knobs; baking them into the jitted program as HLO
+    constants would force a full recompile (minutes of Mosaic kernel
+    compilation) per trial.  As f32 arguments they keep one compiled
+    executable across every trial and enable schedules (lr annealing,
+    clip decay) at zero cost.  Shape-affecting knobs (n_steps, batch_size,
+    n_epochs, n_envs, net_arch) stay static in PPOConfig.
+    """
+
+    learning_rate: Any
+    clip_range: Any
+    ent_coef: Any
+    vf_coef: Any
+    max_grad_norm: Any
+    target_kl: Any  # threshold value; cfg.target_kl is None disables the stop
+    gamma: Any
+    gae_lambda: Any
+
+    @staticmethod
+    def from_config(cfg: "PPOConfig") -> "HParams":
+        f = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
+        return HParams(
+            learning_rate=f(cfg.learning_rate),
+            clip_range=f(cfg.clip_range),
+            ent_coef=f(cfg.ent_coef),
+            vf_coef=f(cfg.vf_coef),
+            max_grad_norm=f(cfg.max_grad_norm),
+            target_kl=f(cfg.target_kl if cfg.target_kl is not None else 0.0),
+            gamma=f(cfg.gamma),
+            gae_lambda=f(cfg.gae_lambda),
+        )
+
+
+@struct.dataclass
 class TrainState:
     params: Any
     opt_state: Any
@@ -99,6 +139,7 @@ class TrainState:
     stat_return: Any  # [] EMA of completed episode returns
     stat_count: Any
     env_params: Any  # RewardParams pytree -- curriculum state (quirk #7 hooks)
+    hparams: Any  # HParams pytree -- dynamic optimization knobs
 
 
 @struct.dataclass
@@ -136,10 +177,10 @@ class PPO:
             self.net = CnnActorCritic(act_dim=env.cfg.act_dim)
         else:
             self.net = ActorCritic(act_dim=env.cfg.act_dim, hidden=cfg.net_arch)
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(cfg.max_grad_norm),
-            optax.adam(cfg.learning_rate, eps=1e-5),
-        )
+        # Adam moments only; global-norm clipping and the -lr step scaling
+        # are applied manually from the DYNAMIC HParams so sweeps/schedules
+        # never recompile (see HParams).
+        self.tx = optax.scale_by_adam(eps=1e-5)
         self.env_params = env.default_params()
         self._train_step = jax.jit(self._build_train_step(), donate_argnums=0)
 
@@ -167,6 +208,7 @@ class PPO:
             stat_return=jnp.asarray(0.0, jnp.float32),
             stat_count=jnp.asarray(0.0, jnp.float32),
             env_params=jax.tree_util.tree_map(jnp.asarray, self.env_params),
+            hparams=HParams.from_config(cfg),
         )
 
     # ------------------------------------------------------------------
@@ -227,23 +269,24 @@ class PPO:
 
             return rollout_step
 
-        def loss_fn(params, batch, advantages, returns):
+        def loss_fn(params, batch, advantages, returns, hp):
             mean, log_std, value = net.apply(params, batch.obs)
             log_prob = gaussian_log_prob(mean, log_std, batch.action)
             ratio = jnp.exp(log_prob - batch.log_prob)
             a = (advantages - advantages.mean()) / (advantages.std() + 1e-8)
             pg1 = a * ratio
-            pg2 = a * jnp.clip(ratio, 1.0 - cfg.clip_range, 1.0 + cfg.clip_range)
+            pg2 = a * jnp.clip(ratio, 1.0 - hp.clip_range, 1.0 + hp.clip_range)
             pg_loss = -jnp.minimum(pg1, pg2).mean()
             v_loss = ((returns - value) ** 2).mean()
             ent = gaussian_entropy(log_std)
-            total = pg_loss + cfg.vf_coef * v_loss - cfg.ent_coef * ent
+            total = pg_loss + hp.vf_coef * v_loss - hp.ent_coef * ent
             approx_kl = ((ratio - 1.0) - jnp.log(ratio)).mean()
             return total, (pg_loss, v_loss, ent, approx_kl)
 
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
 
         def train_step(ts: TrainState):
+            hp = ts.hparams
             # --- rollout -------------------------------------------------
             if axis_name:
                 # replicated master key -> decorrelated per-device streams;
@@ -289,8 +332,8 @@ class PPO:
             def gae_step(carry, tr_t):
                 gae, next_value = carry
                 nonterminal = 1.0 - tr_t.done.astype(jnp.float32)
-                delta = tr_t.reward + cfg.gamma * next_value * nonterminal - tr_t.value
-                gae = delta + cfg.gamma * cfg.gae_lambda * nonterminal * gae
+                delta = tr_t.reward + hp.gamma * next_value * nonterminal - tr_t.value
+                gae = delta + hp.gamma * hp.gae_lambda * nonterminal * gae
                 return (gae, tr_t.value), gae
 
             (_, _), advantages = jax.lax.scan(
@@ -317,16 +360,23 @@ class PPO:
                     params, opt_state, stop, kl_last = carry
                     mb = jax.tree_util.tree_map(lambda x: x[idx], flat)
                     (loss, (pg, vl, ent, kl)), grads = grad_fn(
-                        params, mb, adv_f[idx], ret_f[idx]
+                        params, mb, adv_f[idx], ret_f[idx], hp
                     )
                     # DP all-reduce: same update on every device, KL stop in sync
                     grads = psync(grads)
                     kl = psync(kl)
+                    # global-norm clip + Adam + (-lr) step, all from dynamic hp
+                    g_norm = optax.global_norm(grads)
+                    clip = jnp.minimum(1.0, hp.max_grad_norm / (g_norm + 1e-6))
+                    grads = jax.tree_util.tree_map(lambda g: g * clip, grads)
                     updates, new_opt = tx.update(grads, opt_state, params)
+                    updates = jax.tree_util.tree_map(
+                        lambda u: -hp.learning_rate * u, updates
+                    )
                     new_params = optax.apply_updates(params, updates)
                     # SB3 target_kl: stop all further minibatches this update
                     if cfg.target_kl is not None:
-                        newly_stopped = kl > 1.5 * cfg.target_kl
+                        newly_stopped = kl > 1.5 * hp.target_kl
                     else:
                         newly_stopped = jnp.asarray(False)
                     use = ~stop
@@ -382,6 +432,7 @@ class PPO:
                 stat_return=stat_r,
                 stat_count=stat_c,
                 env_params=ts.env_params,
+                hparams=ts.hparams,
             )
             return new_ts, out_metrics
 
@@ -403,7 +454,29 @@ class PPO:
         if cfg.update_goal:
             base = float(self.env_params.scaled_epsilon)
             p = p.update_goal(update, max(1, n_updates), base)
-        return ts.replace(env_params=p) if p is not ts.env_params else ts
+        if p is not ts.env_params:
+            ts = ts.replace(env_params=p)
+        if cfg.anneal_lr:
+            frac = 1.0 - update / max(1, n_updates)
+            ts = self.set_hparams(ts, learning_rate=cfg.learning_rate * frac)
+        return ts
+
+    def set_hparams(self, ts: TrainState, **kw):
+        """Update dynamic optimization knobs (see HParams) on a live
+        TrainState -- sweeps and schedules without recompiling.  Changing
+        ``gamma`` also rewrites the reward normalizer's discount so
+        VecNormalize-style return scaling stays consistent."""
+        hp = ts.hparams.replace(
+            **{k: jnp.asarray(v, jnp.float32) for k, v in kw.items()}
+        )
+        ts = ts.replace(hparams=hp)
+        if "gamma" in kw:
+            ts = ts.replace(
+                normalizer=ts.normalizer.replace(
+                    gamma=jnp.asarray(kw["gamma"], jnp.float32)
+                )
+            )
+        return ts
 
     def learn(self, total_timesteps=None, log_fn=None, state=None):
         cfg = self.cfg

@@ -49,6 +49,82 @@ def sample_params(rng: random.Random) -> dict:
     return out
 
 
+# Knobs that are DYNAMIC in the train step (ppo.HParams): sampling these
+# never recompiles.  Shape-affecting knobs (n_steps, batch_size, n_epochs,
+# n_envs) stay fixed per fast-sweep so one XLA executable serves every trial.
+DYNAMIC_KNOBS = ("learning_rate", "clip_range", "ent_coef", "vf_coef",
+                 "max_grad_norm", "target_kl", "gamma", "gae_lambda")
+
+
+def _sample_space(rng: random.Random, space: dict) -> dict:
+    out = {}
+    for name, spec in space.items():
+        if "values" in spec:
+            out[name] = rng.choice(spec["values"])
+        else:
+            out[name] = math.exp(rng.uniform(spec["min"], spec["max"]))
+    return out
+
+
+def run_fast_sweep(base_cfg, trials: int = 16, budget_timesteps: int = 10_000_000,
+                   seed: int = 0, space: dict | None = None,
+                   eval_episodes: int = 0, log=print):
+    """Random search over the DYNAMIC knobs only, reusing ONE compiled train
+    step across every trial (HParams ride TrainState as f32 arguments, so a
+    new sample is just new scalars -- no recompile, no new Mosaic kernel
+    builds).  This is what makes sweeping affordable on a single chip where
+    a cold compile costs minutes.
+
+    ``space`` maps knob -> {"values": [...]} or {"min": log_lo, "max":
+    log_hi} (log-uniform); defaults to SWEEP_SPACE restricted to the
+    dynamic knobs.  With ``eval_episodes > 0`` each trial ends with an
+    honest deterministic batched evaluation (train/evaluate.py) and trials
+    are ranked by that instead of the length-biased ep_rew_mean.
+    """
+    from gym_puzzles_tpu.train.ppo import PPO
+    import numpy as np
+    import jax
+
+    algo = PPO(base_cfg)
+    if space is None:
+        space = {k: v for k, v in SWEEP_SPACE.items() if k in DYNAMIC_KNOBS}
+    bad = set(space) - set(DYNAMIC_KNOBS)
+    if bad:
+        raise ValueError(f"not dynamic (would recompile): {sorted(bad)}")
+
+    rng = random.Random(seed)
+    per_update = base_cfg.n_steps * base_cfg.n_envs
+    n_updates = max(1, budget_timesteps // per_update)
+    results = []
+    for t in range(trials):
+        hp = _sample_space(rng, space)
+        ts = algo.init_state(jax.random.key(seed * 7919 + t))
+        ts = algo.set_hparams(ts, **hp)
+        rewards, completions = [], 0
+        for u in range(n_updates):
+            ts = algo.apply_curriculum(ts, u, n_updates)
+            ts, m = algo.train_step(ts)
+            m = jax.device_get(m)
+            if np.isfinite(m["ep_rew_mean"]):
+                rewards.append(float(m["ep_rew_mean"]))
+            completions += int(m["completions"])
+        tail = rewards[-max(1, len(rewards) // 4):] if rewards else [float("-inf")]
+        row = {"trial": t, "score": float(np.mean(tail)),
+               "completions": completions, "params": hp}
+        if eval_episodes:
+            from gym_puzzles_tpu.train.evaluate import evaluate_policy_batched
+
+            ev_mean, ev_std, _ = evaluate_policy_batched(
+                algo, ts, n_episodes=eval_episodes, seed=seed + t)
+            row["eval_mean"] = ev_mean
+            row["eval_std"] = ev_std
+            row["score"] = ev_mean
+        row["final_state"] = ts
+        results.append(row)
+        log(json.dumps({k: v for k, v in row.items() if k != "final_state"}))
+    return sorted(results, key=lambda r: -r["score"])
+
+
 def run_local_sweep(env_id: str = "MultiRobotPuzzle-v0", trials: int = 8,
                     budget_timesteps: int = 100_000, seed: int = 0,
                     n_envs: int | None = None, log=print):

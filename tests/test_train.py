@@ -117,3 +117,64 @@ def test_normalizer_stats():
         st, n = nrm.normalize_obs(st, jnp.asarray(data[i:i + 10]))
     np.testing.assert_allclose(np.asarray(st.obs_rms.mean), data.mean(0), atol=1e-3)
     np.testing.assert_allclose(np.asarray(st.obs_rms.var), data.var(0), rtol=0.05)
+
+
+def test_dynamic_hparams_no_recompile():
+    """lr/clip/ent/gamma/... are HParams pytree leaves (f32 arguments), so a
+    sweep trial or a schedule step is new scalars into the SAME executable."""
+    algo = PPO(tiny_cfg())
+    ts = algo.init_state()
+    ts, _ = algo.train_step(ts)
+    n0 = algo._train_step._cache_size()
+    ts = algo.set_hparams(ts, learning_rate=3e-4, clip_range=0.1, ent_coef=0.0,
+                          vf_coef=1.0, max_grad_norm=1.0, target_kl=0.05,
+                          gamma=0.995, gae_lambda=0.9)
+    assert float(jax.device_get(ts.normalizer.gamma)) == np.float32(0.995)
+    ts, m = algo.train_step(ts)
+    assert algo._train_step._cache_size() == n0
+    assert np.isfinite(jax.device_get(m)["loss"])
+
+
+def test_zero_lr_freezes_params():
+    algo = PPO(tiny_cfg())
+    ts = algo.init_state()
+    ts = algo.set_hparams(ts, learning_rate=0.0)
+    before = jax.device_get(ts.params)
+    ts2, _ = algo.train_step(ts)
+    after = jax.device_get(ts2.params)
+    for a, b in zip(jax.tree_util.tree_leaves(before),
+                    jax.tree_util.tree_leaves(after)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_anneal_lr_schedule():
+    algo = PPO(tiny_cfg(anneal_lr=True))
+    ts = algo.init_state()
+    ts = algo.apply_curriculum(ts, update=5, n_updates=10)
+    lr = float(jax.device_get(ts.hparams.learning_rate))
+    np.testing.assert_allclose(lr, 0.00063 * 0.5, rtol=1e-5)
+
+
+def test_evaluate_policy_batched():
+    from gym_puzzles_tpu.train.evaluate import evaluate_policy_batched
+
+    algo = PPO(tiny_cfg())
+    ts = algo.init_state()
+    mean, std, rets = evaluate_policy_batched(algo, ts, n_episodes=4,
+                                              max_steps=30, seed=5)
+    assert len(rets) == 4
+    assert np.isfinite(mean) and np.isfinite(std)
+
+
+def test_fast_sweep_smoke():
+    from gym_puzzles_tpu.train import sweep
+
+    cfg = tiny_cfg()
+    results = sweep.run_fast_sweep(
+        cfg, trials=2, budget_timesteps=cfg.n_envs * cfg.n_steps,
+        space={"learning_rate": {"values": [1e-4, 1e-3]}},
+        log=lambda s: None)
+    assert len(results) == 2
+    assert all(np.isfinite(r["score"]) or r["score"] == float("-inf")
+               for r in results)
+    assert results[0]["final_state"] is not None
