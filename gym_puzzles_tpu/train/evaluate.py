@@ -9,6 +9,8 @@ renders an episode with the host rasterizer and writes an .npz frame stack
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 import jax
@@ -60,12 +62,19 @@ def evaluate_policy(algo, train_state, n_episodes: int = 10, deterministic: bool
 
 def evaluate_policy_batched(algo, train_state, n_episodes: int = 64,
                             deterministic: bool = True, seed: int = 0,
-                            max_steps: int | None = None, env_params=None):
-    """On-device evaluation: one episode per env lane, the whole rollout one
-    ``lax.scan`` -- a single device round-trip instead of
-    ``evaluate_policy``'s per-step host sync, so sweeps can afford honest
-    deterministic evaluation after every trial.  Episodes beyond their
-    ``done`` are masked out of the return sum (auto_reset off).
+                            max_steps: int | None = None, env_params=None,
+                            chunk: int = 200):
+    """On-device evaluation: one episode per env lane, rolled in jitted
+    ``chunk``-step ``lax.scan`` segments with the carry staying on device --
+    a handful of device round-trips instead of ``evaluate_policy``'s
+    per-step host sync, so sweeps can afford honest deterministic
+    evaluation after every trial.  Episodes beyond their ``done`` are
+    masked out of the return sum (auto_reset off).
+
+    Chunked rather than one max_steps-long scan on purpose: the proven
+    pattern on the tunneled TPU runtime (same as bench.py) -- a single
+    2000-iteration scan program has crashed the remote worker here, and
+    chunking also lets an early finish of every lane skip the tail.
 
     -> (mean_return, std_return, returns list) over ``n_episodes`` episodes
     with i.i.d. spawn/goal randomness (per-lane PRNG keys).
@@ -80,35 +89,50 @@ def evaluate_policy_batched(algo, train_state, n_episodes: int = 64,
     params = jax.tree_util.tree_map(jnp.asarray, params)
     net = algo.net
     max_steps = max_steps or env.cfg.max_episode_steps
+    chunk = min(chunk, max_steps)
+
+    # net params / normalizer / env params ride as jit ARGUMENTS -- a
+    # captured device array in a jitted closure stalls every call on the
+    # tunneled runtime (see CLAUDE.md sharp edges).
+    def step(net_params, norm_st, params, carry, k):
+        vstate, obs, finished, total = carry
+        _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+        mean, log_std, _v = net.apply(net_params, n_obs)
+        if deterministic:
+            act = mean
+        else:
+            act = mean + jnp.exp(log_std) * jax.random.normal(k, mean.shape)
+        act = jnp.clip(act, -1.0, 1.0)
+        vstate, obs, reward, done, _ = env._step_fn(vstate, act, params)
+        total = total + jnp.where(finished, 0.0, reward)
+        finished = finished | done
+        return (vstate, obs, finished, total), None
 
     @jax.jit
-    def run(net_params, norm_st, key, params):
+    def start(key, params):
         k_reset, k_act = jax.random.split(key)
         vstate, obs = env.reset(k_reset, params)
+        return (vstate, obs, jnp.zeros((n_episodes,), bool),
+                jnp.zeros((n_episodes,), jnp.float32)), k_act
 
-        def step(carry, k):
-            vstate, obs, finished, total = carry
-            _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
-            mean, log_std, _v = net.apply(net_params, n_obs)
-            if deterministic:
-                act = mean
-            else:
-                act = mean + jnp.exp(log_std) * jax.random.normal(k, mean.shape)
-            act = jnp.clip(act, -1.0, 1.0)
-            vstate, obs, reward, done, _ = env._step_fn(vstate, act, params)
-            total = total + jnp.where(finished, 0.0, reward)
-            finished = finished | done
-            return (vstate, obs, finished, total), None
+    @functools.partial(jax.jit, static_argnums=5)
+    def roll(net_params, norm_st, params, carry, key, n):
+        keys = jax.random.split(key, n + 1)
+        carry, _ = jax.lax.scan(
+            lambda c, k: step(net_params, norm_st, params, c, k),
+            carry, keys[1:])
+        return carry, keys[0]
 
-        init = (vstate, obs, jnp.zeros((n_episodes,), bool),
-                jnp.zeros((n_episodes,), jnp.float32))
-        keys = jax.random.split(k_act, max_steps)
-        (_, _, finished, total), _ = jax.lax.scan(step, init, keys)
-        return total, finished
-
-    total, _fin = run(train_state.params, train_state.normalizer,
-                      jax.random.key(seed), params)
-    totals = np.asarray(jax.device_get(total))
+    carry, k_act = start(jax.random.key(seed), params)
+    remaining = max_steps
+    while remaining > 0:
+        n = min(chunk, remaining)  # final partial chunk keeps max_steps exact
+        carry, k_act = roll(train_state.params, train_state.normalizer,
+                            params, carry, k_act, n)
+        remaining -= n
+        if bool(jax.device_get(carry[2].all())):
+            break
+    totals = np.asarray(jax.device_get(carry[3]))
     return float(totals.mean()), float(totals.std()), totals.tolist()
 
 

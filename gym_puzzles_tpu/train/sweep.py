@@ -125,6 +125,80 @@ def run_fast_sweep(base_cfg, trials: int = 16, budget_timesteps: int = 10_000_00
     return sorted(results, key=lambda r: -r["score"])
 
 
+def main(argv=None):
+    """``python -m gym_puzzles_tpu.train.sweep`` — local sweep runner.
+
+    The reference's sweep story is ``wandb sweep train/sweep-bayes.yml`` +
+    agents (README.md:101-107); this is the self-contained equivalent.
+    ``--mode fast`` (default) sweeps only the dynamic knobs through one
+    compiled executable (run_fast_sweep); ``--mode full`` re-instantiates
+    PPO per trial and may sample shape-affecting knobs (run_local_sweep).
+    """
+    import argparse
+
+    p = argparse.ArgumentParser(description="gym_puzzles_tpu hyperparameter sweep")
+    p.add_argument("--config", default=None, type=str, help="JSON config path")
+    p.add_argument("--env", default=None, type=str, help="env id override")
+    p.add_argument("--mode", choices=["fast", "full"], default="fast")
+    p.add_argument("--trials", default=8, type=int)
+    p.add_argument("--budget_timesteps", default=10_000_000, type=int)
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--eval_episodes", default=0, type=int,
+                   help="rank fast-sweep trials by honest deterministic "
+                        "batched eval instead of ep_rew_mean")
+    p.add_argument("--space", default=None, type=str,
+                   help='JSON knob spec, e.g. \'{"learning_rate": '
+                        '{"min": -9.2, "max": -6.9}, "gamma": '
+                        '{"values": [0.99, 0.999]}}\'')
+    p.add_argument("--out", default=None, type=str, help="results JSONL path")
+    p.add_argument("--update_goal", action="store_true")
+    p.add_argument("--env_backend", default=None,
+                   choices=["xla", "pallas", "fused"])
+    for name in ("n_envs", "n_steps", "batch_size", "n_epochs"):
+        p.add_argument(f"--{name}", default=None, type=int)
+    args = p.parse_args(argv)
+
+    rows = []
+
+    def log(line):
+        print(line)
+        rows.append(line)
+
+    if args.mode == "full":
+        results = run_local_sweep(
+            env_id=args.env or "MultiRobotPuzzle-v0", trials=args.trials,
+            budget_timesteps=args.budget_timesteps, seed=args.seed,
+            n_envs=args.n_envs, log=log)
+    else:
+        from gym_puzzles_tpu.train.ppo import PPOConfig
+
+        config = {}
+        if args.config:
+            with open(args.config) as f:
+                config = json.load(f)
+        overrides = {"seed": args.seed}
+        if args.env:
+            overrides["env_id"] = args.env
+        if args.update_goal:
+            overrides["update_goal"] = True
+        if args.env_backend:
+            overrides["env_backend"] = args.env_backend
+        for name in ("n_envs", "n_steps", "batch_size", "n_epochs"):
+            if getattr(args, name) is not None:
+                overrides[name] = getattr(args, name)
+        cfg = PPOConfig.from_reference_json(config, **overrides)
+        space = json.loads(args.space) if args.space else None
+        results = run_fast_sweep(
+            cfg, trials=args.trials, budget_timesteps=args.budget_timesteps,
+            seed=args.seed, space=space, eval_episodes=args.eval_episodes,
+            log=log)
+
+    if args.out:
+        with open(args.out, "w") as f:
+            f.write("\n".join(rows) + "\n")
+    return results
+
+
 def run_local_sweep(env_id: str = "MultiRobotPuzzle-v0", trials: int = 8,
                     budget_timesteps: int = 100_000, seed: int = 0,
                     n_envs: int | None = None, log=print):
@@ -156,3 +230,7 @@ def run_local_sweep(env_id: str = "MultiRobotPuzzle-v0", trials: int = 8,
         results.append({"trial": t, "score": score, "params": hp})
         log(json.dumps(results[-1]))
     return sorted(results, key=lambda r: -r["score"])
+
+
+if __name__ == "__main__":
+    main()

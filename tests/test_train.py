@@ -178,3 +178,39 @@ def test_fast_sweep_smoke():
     assert all(np.isfinite(r["score"]) or r["score"] == float("-inf")
                for r in results)
     assert results[0]["final_state"] is not None
+
+
+def test_sweep_cli_main(tmp_path):
+    import json
+
+    from gym_puzzles_tpu.train import sweep
+
+    cfg_path = tmp_path / "cfg.json"
+    cfg_path.write_text(json.dumps({
+        "env": "MultiRobotPuzzle-v0", "n_envs": 4, "n_steps": 8,
+        "batch_size": 8, "n_epochs": 1, "learning_rate": 1e-3,
+    }))
+    out = tmp_path / "results.jsonl"
+    results = sweep.main([
+        "--config", str(cfg_path), "--mode", "fast", "--trials", "2",
+        "--budget_timesteps", "32", "--out", str(out),
+        "--space", '{"learning_rate": {"values": [1e-4, 1e-3]}}',
+    ])
+    assert len(results) == 2
+    lines = [json.loads(l) for l in out.read_text().splitlines()]
+    assert len(lines) == 2 and all("score" in l for l in lines)
+
+
+def test_evaluate_batched_chunk_invariant():
+    """Chunked rollout must stop exactly at max_steps: chunk size cannot
+    change a deterministic evaluation (regression: ceil-overshoot ran
+    ceil(max_steps/chunk)*chunk steps)."""
+    from gym_puzzles_tpu.train.evaluate import evaluate_policy_batched
+
+    algo = PPO(tiny_cfg())
+    ts = algo.init_state()
+    m1, _, r1 = evaluate_policy_batched(algo, ts, n_episodes=4, max_steps=70,
+                                        seed=9, chunk=30)
+    m2, _, r2 = evaluate_policy_batched(algo, ts, n_episodes=4, max_steps=70,
+                                        seed=9, chunk=200)
+    np.testing.assert_allclose(r1, r2, rtol=0, atol=0)
