@@ -178,3 +178,71 @@ def record_video(algo, train_state, path: str, n_steps: int = 300, seed: int = 0
     except Exception:
         pass
     return frames
+
+
+def main(argv=None):
+    """``python -m gym_puzzles_tpu.train.evaluate`` — the reference's
+    ``train/test.py`` as a CLI: restore a checkpoint (policy params + frozen
+    normalizer stats, the PPO.load + VecNormalize.load(training=False)
+    analogue, test.py:60-76), evaluate N episodes, optionally record video.
+    Prints one JSON line with mean/std/returns."""
+    import argparse
+    import json
+
+    from gym_puzzles_tpu.train.ppo import PPO, PPOConfig
+    from gym_puzzles_tpu.train import checkpoint as ckpt
+
+    p = argparse.ArgumentParser(description="Evaluate a trained policy")
+    p.add_argument("--checkpoint", required=True, type=str,
+                   help="orbax checkpoint dir written by the trainer CLI")
+    p.add_argument("--config", default=None, type=str, help="JSON config path")
+    p.add_argument("--env", default=None, type=str, help="env id override")
+    p.add_argument("--n_episodes", default=10, type=int)
+    p.add_argument("--max_steps", default=None, type=int,
+                   help="episode step cap (default: the env's registered "
+                        "max_episode_steps)")
+    p.add_argument("--seed", default=0, type=int)
+    p.add_argument("--stochastic", action="store_true",
+                   help="sample actions instead of the deterministic mean")
+    p.add_argument("--batched", action="store_true",
+                   help="one episode per env lane on device (fast on TPU)")
+    p.add_argument("--video", default=None, type=str,
+                   help="record one episode to PATH.npz/.gif")
+    p.add_argument("--video_mode", default="human_vision",
+                   choices=["human_vision", "agent_vision"])
+    args = p.parse_args(argv)
+
+    config = {}
+    if args.config:
+        with open(args.config) as f:
+            config = json.load(f)
+    overrides = {"n_envs": 1, "n_steps": 2, "batch_size": 2, "n_epochs": 1}
+    if args.env:
+        overrides["env_id"] = args.env
+    cfg = PPOConfig.from_reference_json(config, **overrides)
+
+    algo = PPO(cfg)
+    template = algo.init_state(jax.random.key(args.seed))
+    state = ckpt.restore_policy(args.checkpoint, template)
+
+    if args.batched:
+        mean, std, returns = evaluate_policy_batched(
+            algo, state, n_episodes=args.n_episodes, seed=args.seed,
+            max_steps=args.max_steps, deterministic=not args.stochastic)
+    else:
+        mean, std, returns = evaluate_policy(
+            algo, state, n_episodes=args.n_episodes, seed=args.seed,
+            max_steps=args.max_steps, deterministic=not args.stochastic)
+    print(json.dumps({"env_id": cfg.env_id, "checkpoint": args.checkpoint,
+                      "trained_timesteps": int(state.timesteps),
+                      "mean_return": mean, "std_return": std,
+                      "returns": returns}))
+    if args.video:
+        record_video(algo, state, args.video, seed=args.seed,
+                     mode=args.video_mode)
+        print(f"video written to {args.video}.npz/.gif")
+    return mean, std, returns
+
+
+if __name__ == "__main__":
+    main()

@@ -214,3 +214,30 @@ def test_evaluate_batched_chunk_invariant():
     m2, _, r2 = evaluate_policy_batched(algo, ts, n_episodes=4, max_steps=70,
                                         seed=9, chunk=200)
     np.testing.assert_allclose(r1, r2, rtol=0, atol=0)
+
+
+def test_evaluate_cli_main(tmp_path):
+    """python -m gym_puzzles_tpu.train.evaluate: checkpoint -> honest eval
+    (the reference's train/test.py surface)."""
+    import json
+
+    from gym_puzzles_tpu.train import checkpoint as ckpt
+    from gym_puzzles_tpu.train import evaluate
+
+    cfg = tiny_cfg(net_arch=(16,))
+    algo = PPO(cfg)
+    ts = algo.init_state()
+    ts, _ = algo.train_step(ts)
+    ckpt.save(tmp_path / "ck", ts, int(ts.timesteps))
+
+    cfg_json = tmp_path / "cfg.json"
+    cfg_json.write_text(json.dumps({
+        "env": cfg.env_id,
+        "alg_params": {"policy_kwargs": {"net_arch": [16]}},
+    }))
+    mean, std, returns = evaluate.main([
+        "--checkpoint", str(tmp_path / "ck"), "--config", str(cfg_json),
+        "--n_episodes", "3", "--max_steps", "25", "--batched",
+    ])
+    assert len(returns) == 3
+    assert np.isfinite(mean) and np.isfinite(std)
