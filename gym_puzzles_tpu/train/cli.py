@@ -109,9 +109,19 @@ def main(argv=None):
 
     state = algo.init_state()
     if args.resume:
+        import jax.numpy as jnp
+
         from gym_puzzles_tpu.train import checkpoint as ckpt
+        from gym_puzzles_tpu.train.ppo import HParams
 
         state = ckpt.restore(args.resume, state)
+        # the session's config/CLI hyperparameters win over the checkpoint's
+        # saved HParams (pre-HParams behavior: cfg was baked into the program)
+        state = state.replace(
+            hparams=HParams.from_config(cfg),
+            normalizer=state.normalizer.replace(
+                gamma=jnp.asarray(cfg.gamma, jnp.float32)),
+        )
         print(f"resumed from {args.resume} at {int(state.timesteps)} steps")
 
     t_start = time.time()
@@ -150,6 +160,12 @@ def main(argv=None):
         ckpt.save(path, final, int(final.timesteps))
         print(f"saved checkpoint to {path}")
     return final
+
+
+def script_main():
+    """Console-script entry: swallow main()'s TrainState return value so the
+    setuptools ``sys.exit(main())`` wrapper exits 0."""
+    main()
 
 
 if __name__ == "__main__":

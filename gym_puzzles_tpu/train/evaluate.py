@@ -60,36 +60,18 @@ def evaluate_policy(algo, train_state, n_episodes: int = 10, deterministic: bool
     return float(np.mean(returns)), float(np.std(returns)), returns
 
 
-def evaluate_policy_batched(algo, train_state, n_episodes: int = 64,
-                            deterministic: bool = True, seed: int = 0,
-                            max_steps: int | None = None, env_params=None,
-                            chunk: int = 200):
-    """On-device evaluation: one episode per env lane, rolled in jitted
-    ``chunk``-step ``lax.scan`` segments with the carry staying on device --
-    a handful of device round-trips instead of ``evaluate_policy``'s
-    per-step host sync, so sweeps can afford honest deterministic
-    evaluation after every trial.  Episodes beyond their ``done`` are
-    masked out of the return sum (auto_reset off).
-
-    Chunked rather than one max_steps-long scan on purpose: the proven
-    pattern on the tunneled TPU runtime (same as bench.py) -- a single
-    2000-iteration scan program has crashed the remote worker here, and
-    chunking also lets an early finish of every lane skip the tail.
-
-    -> (mean_return, std_return, returns list) over ``n_episodes`` episodes
-    with i.i.d. spawn/goal randomness (per-lane PRNG keys).
-    """
+@functools.lru_cache(maxsize=8)
+def _batched_eval_fns(env_id: str, n_episodes: int, deterministic: bool, net):
+    """Build (env, jitted start, jitted roll) once per
+    (env_id, n_episodes, deterministic, net-architecture): a sweep calling
+    evaluate_policy_batched per trial reuses the same traced program instead
+    of paying a fresh retrace + compile-cache lookup each time.  (flax
+    modules are frozen dataclasses -- hashable cache keys.)"""
     from gym_puzzles_tpu.api.registry import make
     from gym_puzzles_tpu.train import normalize as nrm
 
-    cfg = algo.cfg
-    env = make(cfg.env_id, num_envs=n_episodes, auto_reset=False,
+    env = make(env_id, num_envs=n_episodes, auto_reset=False,
                reset_mode="reference")
-    params = env_params if env_params is not None else env.default_params()
-    params = jax.tree_util.tree_map(jnp.asarray, params)
-    net = algo.net
-    max_steps = max_steps or env.cfg.max_episode_steps
-    chunk = min(chunk, max_steps)
 
     # net params / normalizer / env params ride as jit ARGUMENTS -- a
     # captured device array in a jitted closure stalls every call on the
@@ -122,6 +104,35 @@ def evaluate_policy_batched(algo, train_state, n_episodes: int = 64,
             lambda c, k: step(net_params, norm_st, params, c, k),
             carry, keys[1:])
         return carry, keys[0]
+
+    return env, start, roll
+
+
+def evaluate_policy_batched(algo, train_state, n_episodes: int = 64,
+                            deterministic: bool = True, seed: int = 0,
+                            max_steps: int | None = None, env_params=None,
+                            chunk: int = 200):
+    """On-device evaluation: one episode per env lane, rolled in jitted
+    ``chunk``-step ``lax.scan`` segments with the carry staying on device --
+    a handful of device round-trips instead of ``evaluate_policy``'s
+    per-step host sync, so sweeps can afford honest deterministic
+    evaluation after every trial.  Episodes beyond their ``done`` are
+    masked out of the return sum (auto_reset off).
+
+    Chunked rather than one max_steps-long scan on purpose: the proven
+    pattern on the tunneled TPU runtime (same as bench.py) -- a single
+    2000-iteration scan program has crashed the remote worker here, and
+    chunking also lets an early finish of every lane skip the tail.
+
+    -> (mean_return, std_return, returns list) over ``n_episodes`` episodes
+    with i.i.d. spawn/goal randomness (per-lane PRNG keys).
+    """
+    env, start, roll = _batched_eval_fns(algo.cfg.env_id, n_episodes,
+                                         deterministic, algo.net)
+    params = env_params if env_params is not None else env.default_params()
+    params = jax.tree_util.tree_map(jnp.asarray, params)
+    max_steps = max_steps or env.cfg.max_episode_steps
+    chunk = min(chunk, max_steps)
 
     carry, k_act = start(jax.random.key(seed), params)
     remaining = max_steps
@@ -245,4 +256,9 @@ def main(argv=None):
 
 
 if __name__ == "__main__":
+    main()
+
+
+def script_main():
+    """Console-script entry: swallow main()'s return so sys.exit(...) is 0."""
     main()

@@ -102,11 +102,12 @@ class HParams:
     """
 
     learning_rate: Any
+    lr_base: Any  # schedule anchor: what anneal_lr scales (set_hparams keeps it)
     clip_range: Any
     ent_coef: Any
     vf_coef: Any
     max_grad_norm: Any
-    target_kl: Any  # threshold value; cfg.target_kl is None disables the stop
+    target_kl: Any  # <= 0 disables the KL stop (dynamic -- no recompile)
     gamma: Any
     gae_lambda: Any
 
@@ -115,6 +116,7 @@ class HParams:
         f = lambda v: jnp.asarray(v, jnp.float32)  # noqa: E731
         return HParams(
             learning_rate=f(cfg.learning_rate),
+            lr_base=f(cfg.learning_rate),
             clip_range=f(cfg.clip_range),
             ent_coef=f(cfg.ent_coef),
             vf_coef=f(cfg.vf_coef),
@@ -374,11 +376,11 @@ class PPO:
                         lambda u: -hp.learning_rate * u, updates
                     )
                     new_params = optax.apply_updates(params, updates)
-                    # SB3 target_kl: stop all further minibatches this update
-                    if cfg.target_kl is not None:
-                        newly_stopped = kl > 1.5 * hp.target_kl
-                    else:
-                        newly_stopped = jnp.asarray(False)
+                    # SB3 target_kl: stop all further minibatches this update.
+                    # Fully dynamic: hp.target_kl <= 0 disables the stop, so
+                    # sweeps/set_hparams control it without a recompile and
+                    # regardless of whether cfg.target_kl was None.
+                    newly_stopped = (hp.target_kl > 0.0) & (kl > 1.5 * hp.target_kl)
                     use = ~stop
                     params = jax.tree_util.tree_map(
                         lambda new, old: jnp.where(use, new, old), new_params, params
@@ -457,23 +459,32 @@ class PPO:
         if p is not ts.env_params:
             ts = ts.replace(env_params=p)
         if cfg.anneal_lr:
+            # anchor to hp.lr_base, not cfg.learning_rate: a sweep-sampled or
+            # set_hparams lr must keep its own annealing schedule
             frac = 1.0 - update / max(1, n_updates)
-            ts = self.set_hparams(ts, learning_rate=cfg.learning_rate * frac)
+            ts = ts.replace(hparams=ts.hparams.replace(
+                learning_rate=ts.hparams.lr_base * jnp.float32(frac)))
         return ts
 
     def set_hparams(self, ts: TrainState, **kw):
         """Update dynamic optimization knobs (see HParams) on a live
-        TrainState -- sweeps and schedules without recompiling.  Changing
-        ``gamma`` also rewrites the reward normalizer's discount so
-        VecNormalize-style return scaling stays consistent."""
-        hp = ts.hparams.replace(
-            **{k: jnp.asarray(v, jnp.float32) for k, v in kw.items()}
-        )
+        TrainState -- sweeps and schedules without recompiling.  Setting
+        ``learning_rate`` also re-anchors ``lr_base`` (what anneal_lr
+        scales); ``target_kl=0`` disables the KL stop.  Changing ``gamma``
+        also rewrites the reward normalizer's discount so VecNormalize-style
+        return scaling stays consistent."""
+        kw = {k: jnp.asarray(v, jnp.float32) for k, v in kw.items()}
+        if "learning_rate" in kw and "lr_base" not in kw:
+            # distinct buffer, NOT an alias: the train step donates the whole
+            # TrainState and refuses to donate one buffer twice
+            kw["lr_base"] = jnp.array(kw["learning_rate"], copy=True)
+        hp = ts.hparams.replace(**kw)
         ts = ts.replace(hparams=hp)
         if "gamma" in kw:
             ts = ts.replace(
                 normalizer=ts.normalizer.replace(
-                    gamma=jnp.asarray(kw["gamma"], jnp.float32)
+                    # copy, not alias (donation -- see lr_base above)
+                    gamma=jnp.array(kw["gamma"], copy=True)
                 )
             )
         return ts

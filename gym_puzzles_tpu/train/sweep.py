@@ -40,13 +40,7 @@ def wandb_sweep_config(program: str = "python -m gym_puzzles_tpu.train.cli"):
 
 
 def sample_params(rng: random.Random) -> dict:
-    out = {}
-    for name, spec in SWEEP_SPACE.items():
-        if "values" in spec:
-            out[name] = rng.choice(spec["values"])
-        else:
-            out[name] = math.exp(rng.uniform(spec["min"], spec["max"]))
-    return out
+    return _sample_space(rng, SWEEP_SPACE)
 
 
 # Knobs that are DYNAMIC in the train step (ppo.HParams): sampling these
@@ -80,6 +74,10 @@ def run_fast_sweep(base_cfg, trials: int = 16, budget_timesteps: int = 10_000_00
     dynamic knobs.  With ``eval_episodes > 0`` each trial ends with an
     honest deterministic batched evaluation (train/evaluate.py) and trials
     are ranked by that instead of the length-biased ep_rew_mean.
+
+    Returns rows sorted best-first; only ``results[0]["final_state"]``
+    carries a TrainState (keeping every trial's state would pin all their
+    device buffers for the sweep's lifetime).
     """
     from gym_puzzles_tpu.train.ppo import PPO
     import numpy as np
@@ -96,6 +94,9 @@ def run_fast_sweep(base_cfg, trials: int = 16, budget_timesteps: int = 10_000_00
     per_update = base_cfg.n_steps * base_cfg.n_envs
     n_updates = max(1, budget_timesteps // per_update)
     results = []
+    # keep only the BEST trial's TrainState: retaining all of them pins
+    # trials x (params + Adam moments + n_envs-wide env state) on HBM
+    best_state, best_score = None, float("-inf")
     for t in range(trials):
         hp = _sample_space(rng, space)
         ts = algo.init_state(jax.random.key(seed * 7919 + t))
@@ -119,10 +120,16 @@ def run_fast_sweep(base_cfg, trials: int = 16, budget_timesteps: int = 10_000_00
             row["eval_mean"] = ev_mean
             row["eval_std"] = ev_std
             row["score"] = ev_mean
-        row["final_state"] = ts
+        if best_state is None or row["score"] > best_score:
+            best_state, best_score = ts, row["score"]
+        del ts
         results.append(row)
-        log(json.dumps({k: v for k, v in row.items() if k != "final_state"}))
-    return sorted(results, key=lambda r: -r["score"])
+        log(json.dumps(row))
+    results = sorted(results, key=lambda r: -r["score"])
+    for r in results:
+        r["final_state"] = None
+    results[0]["final_state"] = best_state
+    return results
 
 
 def main(argv=None):
@@ -165,6 +172,17 @@ def main(argv=None):
         rows.append(line)
 
     if args.mode == "full":
+        # run_local_sweep samples shape knobs itself; flags it cannot honor
+        # must fail loudly instead of being silently dropped
+        dropped = [flag for flag, val in [
+            ("--config", args.config), ("--space", args.space),
+            ("--env_backend", args.env_backend), ("--n_steps", args.n_steps),
+            ("--batch_size", args.batch_size), ("--n_epochs", args.n_epochs),
+            ("--update_goal", args.update_goal),
+            ("--eval_episodes", args.eval_episodes),
+        ] if val]
+        if dropped:
+            p.error(f"--mode full does not support: {', '.join(dropped)}")
         results = run_local_sweep(
             env_id=args.env or "MultiRobotPuzzle-v0", trials=args.trials,
             budget_timesteps=args.budget_timesteps, seed=args.seed,
@@ -233,4 +251,9 @@ def run_local_sweep(env_id: str = "MultiRobotPuzzle-v0", trials: int = 8,
 
 
 if __name__ == "__main__":
+    main()
+
+
+def script_main():
+    """Console-script entry: swallow main()'s return so sys.exit(...) is 0."""
     main()

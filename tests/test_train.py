@@ -241,3 +241,32 @@ def test_evaluate_cli_main(tmp_path):
     ])
     assert len(returns) == 3
     assert np.isfinite(mean) and np.isfinite(std)
+
+
+def test_anneal_anchors_to_set_hparams_lr():
+    """anneal_lr must scale the lr set via set_hparams (lr_base), not the
+    static cfg value (regression: sweeps with anneal_lr on swept identical
+    schedules)."""
+    algo = PPO(tiny_cfg(anneal_lr=True))
+    ts = algo.init_state()
+    ts = algo.set_hparams(ts, learning_rate=2e-3)
+    ts = algo.apply_curriculum(ts, update=5, n_updates=10)
+    lr = float(jax.device_get(ts.hparams.learning_rate))
+    np.testing.assert_allclose(lr, 2e-3 * 0.5, rtol=1e-5)
+
+
+def test_target_kl_fully_dynamic():
+    """The KL stop is controlled by hp.target_kl alone: enable it on a
+    cfg.target_kl=None config, disable with 0 on a configured one."""
+    algo = PPO(tiny_cfg(target_kl=None))
+    ts = algo.init_state()
+    # tiny threshold -> should stop immediately even though cfg had None
+    ts = algo.set_hparams(ts, target_kl=1e-9, learning_rate=0.1)
+    ts, m = algo.train_step(ts)
+    assert bool(jax.device_get(m)["kl_stopped"])
+    # 0 disables, never stops
+    algo2 = PPO(tiny_cfg(target_kl=0.01))
+    ts2 = algo2.init_state()
+    ts2 = algo2.set_hparams(ts2, target_kl=0.0, learning_rate=0.1)
+    ts2, m2 = algo2.train_step(ts2)
+    assert not bool(jax.device_get(m2)["kl_stopped"])
