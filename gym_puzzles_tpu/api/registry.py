@@ -53,12 +53,33 @@ def _obs_dim_for_shape(cfg: EnvConfig, shape: str) -> int:
 
 
 @functools.lru_cache(maxsize=None)
-def _logic(env_id: str, solver_unroll: bool = False, block_shape: str = "t"):
+def _logic(env_id: str, solver_unroll: bool = False, block_shape: str = "t",
+           num_agents: int | None = None, heavy: bool | None = None):
     import dataclasses
 
     cfg = registry_spec(env_id)
     if solver_unroll:
         cfg = dataclasses.replace(cfg, solver_unroll=True)
+    if num_agents is not None or heavy is not None:
+        # The reference's constructor surface: only RobotPuzzleBase (v3) takes
+        # world-shape kwargs (core.py:86-93); v0/v2 classes take none.
+        if cfg.variant != "v3":
+            raise ValueError(
+                "num_agents/heavy are v3 constructor capabilities "
+                "(RobotPuzzleBase, core.py:86-93); v0/v2 have fixed worlds"
+            )
+        A = cfg.num_agents if num_agents is None else int(num_agents)
+        if A < 1:
+            raise ValueError(f"num_agents must be >= 1, got {A}")
+        cfg = dataclasses.replace(
+            cfg,
+            num_agents=A,
+            heavy=cfg.heavy if heavy is None else bool(heavy),
+            # obs: 4 per agent + 3 block + 16 verts (core.py:120-133);
+            # act: 3 per agent (core.py:135-136).
+            obs_dim=4 * A + 3 + 16,
+            act_dim=3 * A,
+        )
     if block_shape != "t":
         if cfg.variant == "v2":
             raise ValueError(
@@ -96,7 +117,10 @@ def _image_logic(env_id: str, frameskip: int = 4, block_shape: str = "t"):
 def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
          reset_mode: str = "fast", solver_unroll: bool = False,
          batch_axis: int = -1, backend: str = "xla",
-         block_shape: str = "t") -> VectorEnv:
+         block_shape: str = "t", num_agents: int | None = None,
+         heavy: bool | None = None, goal_velocity: float | None = None,
+         block_density: float | None = None,
+         hardmode: bool | None = None) -> VectorEnv:
     """Build a batched env.  ``reset_mode='reference'`` reproduces the
     reference's reset-takes-a-random-step contract exactly (00.py:411).
     ``backend='fused'`` runs the ENTIRE engine tick (narrow phase through
@@ -104,8 +128,17 @@ def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
     ``backend='pallas'`` fuses only the contact solve (both require
     num_envs % 128 == 0).
     ``block_shape`` selects the puzzle block geometry 't'|'l'|'i'
-    (blocks.py:15; obs dim shrinks with the dedup'd vertex count)."""
+    (blocks.py:15; obs dim shrinks with the dedup'd vertex count).
+
+    ``num_agents``/``heavy`` expose RobotPuzzleBase's constructor surface
+    for v3 (core.py:86-93): obs dim becomes 4A+3+16, act dim 3A, and
+    ``heavy`` scales the T block to 2x linear size / 2x density
+    (core.py:204-211).  ``goal_velocity``, ``block_density`` and
+    ``hardmode`` are accepted and ignored, exactly like the reference,
+    where they are stored but never read (core.py:100-102 vs. the rest of
+    the file -- SURVEY quirk #12)."""
+    del goal_velocity, block_density, hardmode  # quirk #12: dead in the reference too
     block_shape = _normalize_block_shape(block_shape)
-    return VectorEnv(_logic(env_id, solver_unroll, block_shape), num_envs,
-                     auto_reset=auto_reset, reset_mode=reset_mode,
+    return VectorEnv(_logic(env_id, solver_unroll, block_shape, num_agents, heavy),
+                     num_envs, auto_reset=auto_reset, reset_mode=reset_mode,
                      batch_axis=batch_axis, backend=backend)

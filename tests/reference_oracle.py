@@ -23,9 +23,12 @@ def _ensure_path():
             sys.path.insert(0, p)
 
 
-def make_reference(env_id: str):
+def make_reference(env_id: str, **kwargs):
     """Instantiate a reference env class headless (construction runs reset,
-    which consumes global np.random -- seed beforehand if you care)."""
+    which consumes global np.random -- seed beforehand if you care).
+    ``kwargs`` forward to the constructor -- only RobotPuzzleBase (v3) takes
+    any (num_agents/heavy/goal_velocity/block_density/hardmode,
+    core.py:86-93)."""
     _ensure_path()
     import importlib
 
@@ -37,7 +40,7 @@ def make_reference(env_id: str):
         "MultiRobotPuzzle-v3": ("gym_puzzles.envs.core", "RobotPuzzleBase"),
     }[env_id]
     mod = importlib.import_module(entry[0])
-    return getattr(mod, entry[1])()
+    return getattr(mod, entry[1])(**kwargs)
 
 
 def _set_body(body, pos, angle):

@@ -84,6 +84,31 @@ def test_vmap_invariance(env_id):
         np.testing.assert_array_equal(np.asarray(rB[e]), np.asarray(r1))
 
 
+def test_v3_constructor_surface():
+    """make() exposes RobotPuzzleBase's kwargs (core.py:86-93): num_agents
+    and heavy reshape the world; goal_velocity/block_density/hardmode are
+    accepted-and-ignored (quirk #12)."""
+    env = gpt.make(
+        "MultiRobotPuzzle-v3", num_envs=2, num_agents=3, heavy=True,
+        goal_velocity=2.0, block_density=7.0, hardmode=True,
+    )
+    assert env.cfg.obs_dim == 4 * 3 + 3 + 16 and env.cfg.act_dim == 9
+    vstate, obs = env.reset(jax.random.key(0))
+    assert obs.shape == (2, 31)
+    action = jax.random.uniform(jax.random.key(1), (2, 9), minval=-1, maxval=1)
+    vstate, obs, reward, done, _ = env.step(vstate, action)
+    assert np.isfinite(np.asarray(obs)).all()
+
+    # dead params change nothing (same cached logic object)
+    from gym_puzzles_tpu.api import registry
+
+    assert registry._logic("MultiRobotPuzzle-v3", False, "t", 3, True) is env.logic
+
+    # v0/v2 reject the v3-only surface, like the reference's no-arg ctors
+    with pytest.raises(ValueError):
+        gpt.make("MultiRobotPuzzle-v0", num_envs=1, num_agents=3)
+
+
 def test_reference_reset_mode():
     env = gpt.make("MultiRobotPuzzle-v0", num_envs=2, reset_mode="reference")
     vstate, obs = env.reset(jax.random.key(0))

@@ -19,15 +19,15 @@ from gym_puzzles_tpu.api.registry import _logic
 
 
 def drive_pair(env_id, inject_fn, block_pose, agent_poses, goal=None, n_steps=40,
-               update_params=None, seed=0):
+               update_params=None, seed=0, ref_kwargs=None, logic_kwargs=None):
     """Returns (ref_traj, our_traj): lists of (obs, reward, done)."""
     np.random.seed(123)
-    ref = oracle.make_reference(env_id)
+    ref = oracle.make_reference(env_id, **(ref_kwargs or {}))
     if update_params is not None:
         ref.update_params(*update_params)
     inject_fn(ref)
 
-    logic = _logic(env_id)
+    logic = _logic(env_id, **(logic_kwargs or {}))
     params = logic.default_params()
     if update_params is not None:
         params = params.update_params(*update_params)
@@ -131,6 +131,36 @@ def test_v3_parity():
         None, None, n_steps=40,
     )
     compare(ref_t, our_t, obs_atol=0.02, rew_atol=0.2)  # normalized units
+
+
+def test_v3_three_agent_parity():
+    """The v3 constructor surface (core.py:86-93): RobotPuzzleBase(num_agents=3)
+    vs make's num_agents=3 world, driven through contact-free motion."""
+    ref_t, our_t = drive_pair(
+        "MultiRobotPuzzle-v3",
+        lambda e: oracle.inject_v3(
+            e, (11.0, 8.0, 0.2),
+            [(3.0, 4.0, 0.0), (3.0, 8.0, 0.0), (3.0, 12.0, 0.0)],
+        ),
+        None, None, n_steps=40,
+        ref_kwargs=dict(num_agents=3, goal_velocity=2.0, block_density=7.0,
+                        hardmode=True),
+        logic_kwargs=dict(num_agents=3),
+    )
+    assert len(ref_t[0][0]) == 4 * 3 + 3 + 16  # 31-dim obs
+    compare(ref_t, our_t, obs_atol=0.02, rew_atol=0.2)
+
+
+def test_v3_heavy_parity():
+    """RobotPuzzleBase(heavy=True): 2x-scale, 2x-density T block (core.py:204-211)."""
+    ref_t, our_t = drive_pair(
+        "MultiRobotPuzzle-v3",
+        lambda e: oracle.inject_v3(e, (11.0, 8.0, 0.3), [(3.0, 5.0, 0.0), (3.0, 11.0, 0.0)]),
+        None, None, n_steps=40,
+        ref_kwargs=dict(heavy=True),
+        logic_kwargs=dict(heavy=True),
+    )
+    compare(ref_t, our_t, obs_atol=0.02, rew_atol=0.2)
 
 
 def test_v3_contact_parity():
