@@ -101,17 +101,25 @@ class DeviceImageVectorEnv:
     def __init__(self, env_id: str = "MultiRobotPuzzle-v0", num_envs: int = 8,
                  obs_depth: int = 3, frameskip: int = 4, downsample: int = 4,
                  backend: str = "xla", mode: str = "human_vision",
-                 block_shape: str = "t"):
+                 block_shape: str = "t", auto_reset: bool = True,
+                 reset_mode: str = "fast"):
         from gym_puzzles_tpu.api.registry import _image_logic
         from gym_puzzles_tpu.api.vector import VectorEnv
         from gym_puzzles_tpu.render.device import make_device_renderer
 
         logic = _image_logic(env_id, frameskip, block_shape)
-        self._env = VectorEnv(logic, num_envs, backend=backend)
+        self._env = VectorEnv(logic, num_envs, backend=backend,
+                              auto_reset=auto_reset, reset_mode=reset_mode)
         self.logic = logic
         self.cfg = logic.cfg
         self.num_envs = num_envs
         self.obs_depth = obs_depth
+        # pipeline config, so evaluation can rebuild the training obs
+        # pipeline exactly (same frameskip/downsample/mode -> same obs_shape)
+        self.frameskip = frameskip
+        self.downsample = downsample
+        self.mode = mode
+        self.block_shape = block_shape
         render = make_device_renderer(logic, downsample=downsample, mode=mode)
         h, w = render.height, render.width
         self.obs_shape = (h * obs_depth, w, 3)

@@ -410,9 +410,20 @@ def _pos_sweep(ctx, Cl, ST, PXv, PYv, ANv, DNv, zero):
         )
 
 
-def _run_vel_phase(ctx, C, mkC, V, N, T, vel_iters, value_carry):
+def _run_vel_phase(ctx, C, mkC, V, N, T, vel_iters, value_carry,
+                   unroll=False):
     """Drive vel_iters velocity sweeps.  Returns the final (V, N, T): new
-    value containers in value mode, the same ref views in ref mode."""
+    value containers in value mode, the same ref views in ref mode.
+
+    ``unroll`` (value mode only) emits the sweeps as straight-line code
+    instead of a fori_loop: at reduced iteration counts this is what lets
+    XLA:CPU compile the *fused* kernel in interpret mode (the ~400-wide
+    rolled loop carry sends its live-range analysis quadratic)."""
+    if value_carry and unroll:
+        Vv, Nv, Tv = V, list(N), list(T)
+        for _ in range(vel_iters):
+            _vel_sweep(ctx, C, Vv, Nv, Tv)
+        return Vv, Nv, Tv
     if value_carry:
         dyn_bodies = ctx.dyn_bodies
 
@@ -447,8 +458,14 @@ def _run_vel_phase(ctx, C, mkC, V, N, T, vel_iters, value_carry):
 
 
 def _run_pos_phase(ctx, C, mkC, ST, PX, PY, AN, DN0, pos_iters, value_carry,
-                   zero):
-    """Drive pos_iters position sweeps.  Returns (PX, PY, AN, DN)."""
+                   zero, unroll=False):
+    """Drive pos_iters position sweeps.  Returns (PX, PY, AN, DN).
+    ``unroll`` as in :func:`_run_vel_phase`."""
+    if value_carry and unroll:
+        DN = {b: zero() for b in ctx.dyn_bodies}
+        for _ in range(pos_iters):
+            _pos_sweep(ctx, C, ST, PX, PY, AN, DN, zero)
+        return PX, PY, AN, DN
     if value_carry:
         dyn_bodies = ctx.dyn_bodies
 

@@ -62,6 +62,13 @@ BIG = 1e30
 # Flip to True (before first use) to run the kernel interpreted (CPU tests).
 INTERPRET = False
 
+# Test hook: emit the solve phases as straight-line code instead of
+# fori_loops.  At the CPU equivalence tests' reduced iteration counts this
+# sidesteps XLA:CPU's quadratic live-range analysis of the ~400-wide rolled
+# loop carry (the reason the fused kernel used to be interpret-uncompilable);
+# production TPU keeps the rolled loops (smaller program, same speed).
+UNROLL = False
+
 # body f32 input planes (indices into bf_in, stride B)
 _B_IN = ("velx", "vely", "om", "posx", "posy", "ang",
          "awake", "sleep", "wake", "fx", "fy", "tq")
@@ -666,7 +673,8 @@ def _build_fused_kernel(table: ShapeTable, dt: float, vel_iters: int,
         N = list(N0)
         T = list(T0)
         slp._warm_start(ctx, C, V, N, T)
-        V, N, T = slp._run_vel_phase(ctx, C, None, V, N, T, vel_iters, True)
+        V, N, T = slp._run_vel_phase(ctx, C, None, V, N, T, vel_iters, True,
+                                     unroll=UNROLL)
 
         # ---- integrate positions -------------------------------------------
         PX, PY, AN = {}, {}, {}
@@ -687,7 +695,8 @@ def _build_fused_kernel(table: ShapeTable, dt: float, vel_iters: int,
         ST = slp._static_transforms(ctx, pos_get)
         zero = lambda: jnp.zeros_like(px[0])
         PX, PY, AN, DN = slp._run_pos_phase(
-            ctx, C, None, ST, PX, PY, AN, None, pos_iters, True, zero
+            ctx, C, None, ST, PX, PY, AN, None, pos_iters, True, zero,
+            unroll=UNROLL,
         )
 
         # ---- sleep bookkeeping (b2Island::Solve tail) -----------------------

@@ -25,6 +25,10 @@ def build_parser():
     p.add_argument("--total_timesteps", default=1_000_000, type=int)
     p.add_argument("--n_envs", default=None, type=int)
     p.add_argument("--disable_wandb", action="store_true")
+    p.add_argument("--run_wandb_sweep", action="store_true",
+                   help="third config tier (parsers.py:61-66, train.py:33-41): "
+                        "when set, a wandb sweep agent's wandb.config values "
+                        "override the JSON config and CLI flags")
     p.add_argument("--save_model", action="store_true")
     p.add_argument("--checkpoint_dir", default="models", type=str)
     p.add_argument("--resume", default=None, type=str, help="checkpoint dir to resume")
@@ -87,18 +91,32 @@ def main(argv=None):
     overrides["seed"] = args.seed
     overrides["total_timesteps"] = args.total_timesteps
 
-    cfg = PPOConfig.from_reference_json(config, **overrides)
-    print(f"config: {cfg}")
-
     logger = None
     if not args.disable_wandb:
         try:
             import wandb
 
-            run = wandb.init(project=cfg.env_id, group="PPO-tpu-v1", config=vars(args))
+            project = overrides.get("env_id") or config.get("env", "MultiRobotPuzzle-v0")
+            run = wandb.init(project=project, group="PPO-tpu-v1", config=vars(args))
             logger = run
+            if args.run_wandb_sweep:
+                # the reference's third config tier (train.py:33-41): a sweep
+                # agent's wandb.config wins over JSON + CLI for alg params
+                import dataclasses as _dc
+
+                fields = {f.name for f in _dc.fields(PPOConfig)}
+                sweep_cfg = {k: v for k, v in dict(wandb.config).items()
+                             if k in fields}
+                if "net_arch" in sweep_cfg:
+                    sweep_cfg["net_arch"] = tuple(sweep_cfg["net_arch"])
+                overrides.update(sweep_cfg)
         except Exception as e:  # wandb genuinely optional
             print(f"wandb unavailable ({e}); logging to stdout only")
+    elif args.run_wandb_sweep:
+        print("--run_wandb_sweep ignored: wandb disabled")
+
+    cfg = PPOConfig.from_reference_json(config, **overrides)
+    print(f"config: {cfg}")
 
     if args.distributed:
         from gym_puzzles_tpu.parallel.mesh import DistributedPPO, make_mesh

@@ -17,26 +17,64 @@ import jax
 import jax.numpy as jnp
 
 
+def _image_pipeline(algo):
+    """The training env's image-obs pipeline config (so eval rebuilds the
+    exact obs the CNN was trained on), or None for flat-obs runs."""
+    env = getattr(algo, "env", None)
+    if getattr(algo, "obs_shape", None) is None or env is None:
+        return None
+    return (env.obs_depth, env.frameskip, env.downsample, env.mode,
+            env.block_shape)
+
+
+def _make_eval_env(env_id: str, n: int, image_cfg=None):
+    """Dedicated eval env: auto_reset off, reference reset semantics.  For
+    CNN runs this is a DeviceImageVectorEnv with the training pipeline's
+    frame config -- the SB3 analogue is that eval wraps whatever policy
+    trained (test.py:60-76)."""
+    if image_cfg is not None:
+        from gym_puzzles_tpu.api.image_obs import DeviceImageVectorEnv
+
+        depth, fs, ds, mode, bs = image_cfg
+        return DeviceImageVectorEnv(env_id, num_envs=n, obs_depth=depth,
+                                    frameskip=fs, downsample=ds, mode=mode,
+                                    block_shape=bs, auto_reset=False,
+                                    reset_mode="reference")
+    from gym_puzzles_tpu.api.registry import make
+
+    return make(env_id, num_envs=n, auto_reset=False, reset_mode="reference")
+
+
+def _use_obs_norm(algo) -> bool:
+    """Mirror the trainer's VecNormalize logic (ppo.py::_build_train_step):
+    obs normalization applies only to flat obs -- SB3 image runs use
+    norm_obs=False, and obs_rms has flat-obs shape anyway."""
+    return algo.cfg.normalize and getattr(algo, "obs_shape", None) is None
+
+
 def evaluate_policy(algo, train_state, n_episodes: int = 10, deterministic: bool = True,
                     max_steps: int | None = None, seed: int = 0):
     """-> (mean_return, std_return, returns list).  Uses a dedicated
     single-batch env so evaluation never disturbs training state."""
-    from gym_puzzles_tpu.api.registry import make
     from gym_puzzles_tpu.train import normalize as nrm
 
     cfg = algo.cfg
-    env = make(cfg.env_id, num_envs=1, auto_reset=False, reset_mode="reference")
+    env = _make_eval_env(cfg.env_id, 1, _image_pipeline(algo))
     params = env.default_params()
     net = algo.net
     norm = train_state.normalizer
     max_steps = max_steps or env.cfg.max_episode_steps
+    use_obs_norm = _use_obs_norm(algo)
 
     # net params / normalizer are device arrays: pass as jit ARGS, never
     # close over them (captured device constants stall every execution on
     # the tunneled TPU)
     @jax.jit
     def policy(net_params, norm_st, obs, key):
-        _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+        if use_obs_norm:
+            _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+        else:
+            n_obs = obs
         mean, log_std, _v = net.apply(net_params, n_obs)
         if deterministic:
             return jnp.clip(mean, -1.0, 1.0)
@@ -61,24 +99,27 @@ def evaluate_policy(algo, train_state, n_episodes: int = 10, deterministic: bool
 
 
 @functools.lru_cache(maxsize=8)
-def _batched_eval_fns(env_id: str, n_episodes: int, deterministic: bool, net):
+def _batched_eval_fns(env_id: str, n_episodes: int, deterministic: bool, net,
+                      image_cfg=None, use_obs_norm: bool = True):
     """Build (env, jitted start, jitted roll) once per
-    (env_id, n_episodes, deterministic, net-architecture): a sweep calling
-    evaluate_policy_batched per trial reuses the same traced program instead
-    of paying a fresh retrace + compile-cache lookup each time.  (flax
-    modules are frozen dataclasses -- hashable cache keys.)"""
-    from gym_puzzles_tpu.api.registry import make
+    (env_id, n_episodes, deterministic, net-architecture, obs pipeline): a
+    sweep calling evaluate_policy_batched per trial reuses the same traced
+    program instead of paying a fresh retrace + compile-cache lookup each
+    time.  (flax modules are frozen dataclasses -- hashable cache keys;
+    image_cfg is a plain tuple.)"""
     from gym_puzzles_tpu.train import normalize as nrm
 
-    env = make(env_id, num_envs=n_episodes, auto_reset=False,
-               reset_mode="reference")
+    env = _make_eval_env(env_id, n_episodes, image_cfg)
 
     # net params / normalizer / env params ride as jit ARGUMENTS -- a
     # captured device array in a jitted closure stalls every call on the
     # tunneled runtime (see CLAUDE.md sharp edges).
     def step(net_params, norm_st, params, carry, k):
         vstate, obs, finished, total = carry
-        _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+        if use_obs_norm:
+            _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+        else:
+            n_obs = obs
         mean, log_std, _v = net.apply(net_params, n_obs)
         if deterministic:
             act = mean
@@ -128,7 +169,9 @@ def evaluate_policy_batched(algo, train_state, n_episodes: int = 64,
     with i.i.d. spawn/goal randomness (per-lane PRNG keys).
     """
     env, start, roll = _batched_eval_fns(algo.cfg.env_id, n_episodes,
-                                         deterministic, algo.net)
+                                         deterministic, algo.net,
+                                         _image_pipeline(algo),
+                                         _use_obs_norm(algo))
     params = env_params if env_params is not None else env.default_params()
     params = jax.tree_util.tree_map(jnp.asarray, params)
     max_steps = max_steps or env.cfg.max_episode_steps
@@ -151,27 +194,32 @@ def record_video(algo, train_state, path: str, n_steps: int = 300, seed: int = 0
                  mode: str = "human_vision", fps: int = 50):
     """Roll one episode and save frames.  Writes ``path``.npz always and
     ``path``.gif when PIL is importable."""
-    from gym_puzzles_tpu.api.registry import _logic, make
     from gym_puzzles_tpu.render import render_state
     from gym_puzzles_tpu.train import normalize as nrm
 
     cfg = algo.cfg
-    env = make(cfg.env_id, num_envs=1, auto_reset=False, reset_mode="reference")
-    logic = _logic(cfg.env_id)
+    image_cfg = _image_pipeline(algo)
+    env = _make_eval_env(cfg.env_id, 1, image_cfg)
+    logic = env.logic  # VectorEnv and DeviceImageVectorEnv both expose it
     params = env.default_params()
     norm = train_state.normalizer
+    use_obs_norm = _use_obs_norm(algo)
 
     @jax.jit
     def policy(net_params, norm_st, obs):
-        _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+        if use_obs_norm:
+            _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
+        else:
+            n_obs = obs
         mean, _ls, _v = algo.net.apply(net_params, n_obs)
         return jnp.clip(mean, -1.0, 1.0)
 
     vstate, obs = env.reset(jax.random.key(seed), params)
     frames = []
     for _ in range(n_steps):
+        env_state = vstate.vec.env if image_cfg is not None else vstate.env
         one = jax.tree_util.tree_map(lambda x: np.asarray(x)[..., 0]
-                                     if getattr(x, "ndim", 0) else x, vstate.env)
+                                     if getattr(x, "ndim", 0) else x, env_state)
         frames.append(render_state(logic, one, mode=mode))
         vstate, obs, reward, done, _ = env.step(
             vstate, policy(train_state.params, norm, obs), params
@@ -208,6 +256,16 @@ def main(argv=None):
                    help="orbax checkpoint dir written by the trainer CLI")
     p.add_argument("--config", default=None, type=str, help="JSON config path")
     p.add_argument("--env", default=None, type=str, help="env id override")
+    p.add_argument("--policy", default=None, choices=["mlp", "cnn"],
+                   help="policy architecture of the checkpoint")
+    p.add_argument("--downsample", default=4, type=int,
+                   help="cnn only: frame downsample the checkpoint was "
+                        "trained with (must match -- it sets the CNN "
+                        "flatten width)")
+    p.add_argument("--obs_depth", default=3, type=int,
+                   help="cnn only: stacked frame count (00.py:197-200)")
+    p.add_argument("--frameskip", default=4, type=int,
+                   help="cnn only: physics frameskip (00.py:161-162)")
     p.add_argument("--n_episodes", default=10, type=int)
     p.add_argument("--max_steps", default=None, type=int,
                    help="episode step cap (default: the env's registered "
@@ -230,9 +288,18 @@ def main(argv=None):
     overrides = {"n_envs": 1, "n_steps": 2, "batch_size": 2, "n_epochs": 1}
     if args.env:
         overrides["env_id"] = args.env
+    if args.policy:
+        overrides["policy"] = args.policy
     cfg = PPOConfig.from_reference_json(config, **overrides)
 
-    algo = PPO(cfg)
+    if cfg.policy == "cnn":
+        from gym_puzzles_tpu.api.image_obs import DeviceImageVectorEnv
+
+        algo = PPO(cfg, env=DeviceImageVectorEnv(
+            cfg.env_id, num_envs=cfg.n_envs, obs_depth=args.obs_depth,
+            frameskip=args.frameskip, downsample=args.downsample))
+    else:
+        algo = PPO(cfg)
     template = algo.init_state(jax.random.key(args.seed))
     state = ckpt.restore_policy(args.checkpoint, template)
 

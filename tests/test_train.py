@@ -216,6 +216,64 @@ def test_evaluate_batched_chunk_invariant():
     np.testing.assert_allclose(r1, r2, rtol=0, atol=0)
 
 
+def test_run_wandb_sweep_overrides(monkeypatch, tmp_path):
+    """--run_wandb_sweep: the third config tier (train.py:33-41) -- a sweep
+    agent's wandb.config wins over JSON and CLI values."""
+    import json
+    import sys
+    import types
+
+    fake = types.ModuleType("wandb")
+    fake.config = {"learning_rate": 0.00021, "n_epochs": 1, "batch_size": 8}
+    fake.init = lambda **kw: types.SimpleNamespace(log=lambda *a, **k: None)
+    monkeypatch.setitem(sys.modules, "wandb", fake)
+
+    cfg_json = tmp_path / "cfg.json"
+    cfg_json.write_text(json.dumps({
+        "env": "MultiRobotPuzzle-v0", "n_envs": 2,
+        "alg_params": {"learning_rate": 0.9,
+                       "policy_kwargs": {"net_arch": [16]}},
+    }))
+    from gym_puzzles_tpu.train import cli
+
+    final = cli.main([
+        "--config", str(cfg_json), "--run_wandb_sweep",
+        "--learning_rate", "0.5",  # CLI tier: must lose to wandb.config
+        "--n_steps", "4", "--total_timesteps", "8",
+    ])
+    assert float(jax.device_get(final.hparams.learning_rate)) == np.float32(0.00021)
+
+
+def test_cnn_eval_roundtrip(tmp_path):
+    """policy='cnn' train -> checkpoint -> eval: evaluation must build the
+    image-obs env (not a flat make()) and skip flat-obs normalization, the
+    trainer's use_obs_norm logic (SB3 eval wraps whatever policy trained,
+    test.py:60-76)."""
+    from gym_puzzles_tpu.api.image_obs import DeviceImageVectorEnv
+    from gym_puzzles_tpu.train import checkpoint as ckpt
+    from gym_puzzles_tpu.train.evaluate import evaluate_policy, evaluate_policy_batched
+
+    env = DeviceImageVectorEnv("MultiRobotPuzzle-v0", num_envs=2, downsample=16)
+    cfg = tiny_cfg(policy="cnn", n_envs=2, n_steps=4, batch_size=8,
+                   n_epochs=1, total_timesteps=8)
+    algo = PPO(cfg, env=env)
+    ts = algo.init_state()
+    ts, _ = algo.train_step(ts)
+    ckpt.save(tmp_path / "ck", ts, step=1)
+
+    eval_env = DeviceImageVectorEnv("MultiRobotPuzzle-v0", num_envs=2, downsample=16)
+    eval_algo = PPO(cfg, env=eval_env)
+    restored = ckpt.restore_policy(tmp_path / "ck", eval_algo.init_state())
+
+    mean, std, returns = evaluate_policy_batched(
+        eval_algo, restored, n_episodes=2, max_steps=10, seed=5, chunk=5)
+    assert len(returns) == 2 and np.isfinite(mean) and np.isfinite(std)
+
+    mean1, _, returns1 = evaluate_policy(
+        eval_algo, restored, n_episodes=1, max_steps=5, seed=5)
+    assert len(returns1) == 1 and np.isfinite(mean1)
+
+
 def test_evaluate_cli_main(tmp_path):
     """python -m gym_puzzles_tpu.train.evaluate: checkpoint -> honest eval
     (the reference's train/test.py surface)."""
