@@ -24,7 +24,7 @@ from jax import lax
 
 
 def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5,
-         env_id: str = "MultiRobotPuzzle-v0"):
+         env_id: str = "MultiRobotPuzzle-v0", reset_mode: str = "fast"):
     from gym_puzzles_tpu.api.registry import make
     from gym_puzzles_tpu.utils import enable_compilation_cache
 
@@ -33,7 +33,8 @@ def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5,
     # the fused Pallas backend (whole engine tick in one VMEM-resident
     # kernel) is the TPU throughput path
     backend = "fused" if num_envs % 128 == 0 else "xla"
-    env = make(env_id, num_envs=num_envs, backend=backend)
+    env = make(env_id, num_envs=num_envs, backend=backend,
+               reset_mode=reset_mode)
     params = env.default_params()
 
     key = jax.random.key(0)
@@ -81,4 +82,5 @@ def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5,
 if __name__ == "__main__":
     num_envs = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
     env_id = sys.argv[2] if len(sys.argv) > 2 else "MultiRobotPuzzle-v0"
-    main(num_envs=num_envs, env_id=env_id)
+    reset_mode = sys.argv[3] if len(sys.argv) > 3 else "fast"
+    main(num_envs=num_envs, env_id=env_id, reset_mode=reset_mode)

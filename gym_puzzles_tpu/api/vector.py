@@ -82,35 +82,46 @@ class VectorEnv:
         def fix_obs(obs):
             return obs.T if ax == -1 else obs
 
+        def step_backend(state, act, params):
+            """One batched engine step on the selected backend."""
+            if backend == "fused":
+                return logic.step_fused(state, act, params)
+            if backend == "pallas":
+                return logic.step_batched(state, act, params)
+            return jax.vmap(logic.step, in_axes=(ax, ax, None), out_axes=ax)(
+                state, act, params
+            )
+
+        def reset_batch(reset_keys, params):
+            """Batched reset.  In reference mode the quirk's random step
+            (00.py:411) runs through the SAME backend step as training --
+            on the fused/pallas backends this is what makes the faithful
+            reset contract affordable (one extra kernel launch instead of a
+            full XLA-path step; see docs/BENCHMARKS.md)."""
+            if reset_mode != "reference":
+                return jax.vmap(reset_one, in_axes=(0, None), out_axes=ax)(
+                    reset_keys, params
+                )
+            state, act = jax.vmap(logic.reset_spawn, out_axes=ax)(reset_keys)
+            state, obs, _r, _d, _info = step_backend(state, act, params)
+            # the random step does not count against the episode clock
+            t0 = jnp.zeros_like(state.t)
+            return state.replace(t=t0), obs
+
         @jax.jit
         def _reset(keys, params):
             env_keys, reset_keys = jax.vmap(jax.random.split, out_axes=1)(keys)
-            state, obs = jax.vmap(reset_one, in_axes=(0, None), out_axes=ax)(
-                reset_keys, params
-            )
+            state, obs = reset_batch(reset_keys, params)
             return VectorState(env=state, key=env_keys), fix_obs(obs)
 
         @jax.jit
         def _step(vstate, action, params):
             act = action.T if ax == -1 else action  # user passes [E, act_dim]
-            if backend == "fused":
-                state, obs, reward, done, info = logic.step_fused(
-                    vstate.env, act, params
-                )
-            elif backend == "pallas":
-                state, obs, reward, done, info = logic.step_batched(
-                    vstate.env, act, params
-                )
-            else:
-                state, obs, reward, done, info = jax.vmap(
-                    logic.step, in_axes=(ax, ax, None), out_axes=ax
-                )(vstate.env, act, params)
+            state, obs, reward, done, info = step_backend(vstate.env, act, params)
             key = vstate.key
             if auto_reset:
                 next_keys, reset_keys = jax.vmap(jax.random.split, out_axes=1)(key)
-                r_state, r_obs = jax.vmap(reset_one, in_axes=(0, None), out_axes=ax)(
-                    reset_keys, params
-                )
+                r_state, r_obs = reset_batch(reset_keys, params)
                 state = _tree_select(done, r_state, state, ax)
                 obs = jnp.where(done if ax == -1 else done[:, None], r_obs, obs)
                 # typed PRNG keys: 1-D mask, or broadcasting silently makes

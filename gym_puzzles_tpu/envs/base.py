@@ -54,28 +54,21 @@ class PuzzleEnvLogic:
     def default_params(self) -> RewardParams:
         return RewardParams.default(self.cfg.variant)
 
+    def reset_spawn(self, key):
+        """Spawn a fresh episode state plus the reference reset contract's
+        uniform random action (00.py:411) -- the pre-step half of
+        :meth:`reset`, split out so the vectorized reference-mode autoreset
+        can run the quirk step through the batched/fused engine path."""
+        k_spawn, k_act = jax.random.split(key)
+        bodies, goal_pos = self._spawn(k_spawn)
+        state = self.state_from_bodies(bodies, goal_pos)
+        action = cm.uniform(k_act, -1.0, 1.0, (self.cfg.act_dim,))
+        return state, action
+
     def reset(self, key, params: RewardParams):
         """Spawn a fresh episode, then take one uniform random action and
         return its observation (the reference's reset contract)."""
-        k_spawn, k_act = jax.random.split(key)
-        bodies, goal_pos = self._spawn(k_spawn)
-        contacts = eng.init_contacts(self.layout.table)
-        agent_dist, block_distance, block_angle = self._distances(bodies, goal_pos)
-        A = self.cfg.num_agents
-        state = cm.EnvState(
-            bodies=bodies,
-            contacts=contacts,
-            goal_contact=jnp.zeros((A,), bool),
-            wall_contact=jnp.asarray(False),
-            agent_dist=agent_dist,
-            block_distance=block_distance,
-            block_angle=block_angle,
-            blks_in_place=jnp.asarray(0, jnp.int32),
-            goal_pos=goal_pos,
-            t=jnp.asarray(0, jnp.int32),
-            done_status=jnp.asarray(0, jnp.int32),
-        )
-        action = cm.uniform(k_act, -1.0, 1.0, (self.cfg.act_dim,))
+        state, action = self.reset_spawn(key)
         state, obs, _r, _d, _info = self.step(state, action, params)
         # The random step does not count against the episode clock.
         return state.replace(t=jnp.asarray(0, jnp.int32)), obs

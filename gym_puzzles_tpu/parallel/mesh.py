@@ -127,12 +127,15 @@ class DistributedPPO:
         self._in_specs = in_specs
 
     def init_state(self) -> TrainState:
-        ts = self.ppo.init_state()
         shardings = jax.tree_util.tree_map(
             lambda spec: NamedSharding(self.mesh, spec), self._in_specs,
             is_leaf=lambda x: isinstance(x, P),
         )
-        return jax.device_put(ts, shardings)
+        # build the state INSIDE jit with global out_shardings: unlike
+        # device_put, this works when the mesh spans multiple processes
+        # (device_put rejects non-addressable shardings) -- each process
+        # traces the same program and XLA materializes only its own shards
+        return jax.jit(self.ppo.init_state, out_shardings=shardings)()
 
     def train_step(self, ts: TrainState):
         return self._step(ts)

@@ -48,6 +48,10 @@ def _set_body(body, pos, angle):
     body.angle = float(angle)
     body.linearVelocity = (0.0, 0.0)
     body.angularVelocity = 0.0
+    # awake=False zeroes b2Body::m_sleepTime (SetAwake(false)), so the
+    # subsequent wake starts the sleep clock at exactly 0 -- matching the
+    # rebuild's inject(), which builds bodies with sleep_time=0.
+    body.awake = False
     body.awake = True
 
 

