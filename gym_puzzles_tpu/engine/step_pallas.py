@@ -69,6 +69,14 @@ INTERPRET = False
 # production TPU keeps the rolled loops (smaller program, same speed).
 UNROLL = False
 
+# Test hook: ref-state solve phases (value_carry=False), mirroring
+# solver_pallas._build_kernel's CPU-testable mode -- solver state lives in
+# the OUTPUT planes (+ a DN scratch) instead of the fori_loop carry, so the
+# loop carry is empty and XLA:CPU's live-range passes stay linear.  This is
+# what makes the fused kernel's NUMERICS runnable (interpret mode) in the
+# CI suite; production TPU keeps the value-carry form.
+REF_STATE = False
+
 # body f32 input planes (indices into bf_in, stride B)
 _B_IN = ("velx", "vely", "om", "posx", "posy", "ang",
          "awake", "sleep", "wake", "fx", "fy", "tq")
@@ -498,10 +506,42 @@ def _setup_pair(ctx, p, man, pose, com, vel, active_f):
     )
 
 
+class _ImpRow:
+    """Ref view mapping the solver's impulse index ``p*2+j`` onto the
+    per-point output planes (ni0/ni1 or ti0/ti1)."""
+
+    def __init__(self, ref, plane0, plane1, P):
+        self.ref, self.p0, self.p1, self.P = ref, plane0, plane1, P
+
+    def __getitem__(self, i):
+        p, j = divmod(i, 2)
+        return self.ref[(self.p1 if j else self.p0) * self.P + p]
+
+    def __setitem__(self, i, v):
+        p, j = divmod(i, 2)
+        self.ref[(self.p1 if j else self.p0) * self.P + p] = v
+
+
+class _DynSlots:
+    """Ref view over a [n_dyn, ...] scratch, indexed by raw body id."""
+
+    def __init__(self, ref, dyn_bodies):
+        self.ref = ref
+        self.slot = {b: i for i, b in enumerate(dyn_bodies)}
+
+    def __getitem__(self, b):
+        return self.ref[self.slot[b]]
+
+    def __setitem__(self, b, v):
+        self.ref[self.slot[b]] = v
+
+
 def _build_fused_kernel(table: ShapeTable, dt: float, vel_iters: int,
-                        pos_iters: int):
-    """Whole-tick kernel.  Value-carry solve phase only (the fused kernel is
-    the TPU throughput path; CPU equivalence runs interpret mode)."""
+                        pos_iters: int, value_carry: bool = True):
+    """Whole-tick kernel.  ``value_carry=True`` is the TPU throughput form
+    (solver state in the fori_loop carry); ``value_carry=False`` keeps the
+    solver state in the output planes + a DN scratch ref, which is what the
+    CPU interpret equivalence tests compile (see REF_STATE)."""
     ctx = slp._Ctx(table)
     P, B = ctx.P, ctx.B
     dyn = ctx.dyn
@@ -512,7 +552,8 @@ def _build_fused_kernel(table: ShapeTable, dt: float, vel_iters: int,
     ang_k = [float(np.clip(1.0 - dt * d, 0.0, 1.0)) for d in table.angular_damping]
     both_dyn = [dyn[ctx.ia_l[p]] and dyn[ctx.ib_l[p]] for p in range(P)]
 
-    def kernel(bf_ref, pf_ref, pi_ref, bfo_ref, pfo_ref, pio_ref):
+    def kernel(bf_ref, pf_ref, pi_ref, bfo_ref, pfo_ref, pio_ref, *scratch):
+        dn_ref = scratch[0] if scratch else None
         f32 = jnp.float32
 
         def bi(name, b):
@@ -668,22 +709,50 @@ def _build_fused_kernel(table: ShapeTable, dt: float, vel_iters: int,
                 c["link"] = touching[p]
             C.append(c)
 
-        # ---- solve (shared generators, value-carry mode) -------------------
-        V = vel
-        N = list(N0)
-        T = list(T0)
+        # ---- solve (shared generators) --------------------------------------
+        if value_carry:
+            V = vel
+            N = list(N0)
+            T = list(T0)
+        else:
+            # ref-state: velocities live in the vel output planes, impulses
+            # in the ni/ti output planes -- empty loop carries (see REF_STATE)
+            V = dict(vx=slp._Row(bfo_ref, B_OUT["velx"] * B),
+                     vy=slp._Row(bfo_ref, B_OUT["vely"] * B),
+                     om=slp._Row(bfo_ref, B_OUT["om"] * B))
+            for b in dyn_bodies:
+                V["vx"][b] = vel["vx"][b]
+                V["vy"][b] = vel["vy"][b]
+                V["om"][b] = vel["om"][b]
+            N = _ImpRow(pfo_ref, P_OUT["ni0"], P_OUT["ni1"], P)
+            T = _ImpRow(pfo_ref, P_OUT["ti0"], P_OUT["ti1"], P)
+            for p in range(P):
+                for j in range(2):
+                    N[p * 2 + j] = N0[p * 2 + j]
+                    T[p * 2 + j] = T0[p * 2 + j]
         slp._warm_start(ctx, C, V, N, T)
-        V, N, T = slp._run_vel_phase(ctx, C, None, V, N, T, vel_iters, True,
-                                     unroll=UNROLL)
+        V, N, T = slp._run_vel_phase(ctx, C, lambda: C, V, N, T, vel_iters,
+                                     value_carry, unroll=UNROLL)
 
         # ---- integrate positions -------------------------------------------
-        PX, PY, AN = {}, {}, {}
-        vfin = dict(vx={}, vy={}, om={})
+        if value_carry:
+            PX, PY, AN = {}, {}, {}
+            vfin = dict(vx={}, vy={}, om={})
 
-        def store_vel(b, vx_, vy_, w_):
-            vfin["vx"][b] = vx_
-            vfin["vy"][b] = vy_
-            vfin["om"][b] = w_
+            def store_vel(b, vx_, vy_, w_):
+                vfin["vx"][b] = vx_
+                vfin["vy"][b] = vy_
+                vfin["om"][b] = w_
+        else:
+            PX = slp._Row(bfo_ref, B_OUT["posx"] * B)
+            PY = slp._Row(bfo_ref, B_OUT["posy"] * B)
+            AN = slp._Row(bfo_ref, B_OUT["ang"] * B)
+            vfin = V
+
+            def store_vel(b, vx_, vy_, w_):
+                V["vx"][b] = vx_
+                V["vy"][b] = vy_
+                V["om"][b] = w_
 
         def pos_get(b):
             return px[b], py[b], an[b]
@@ -694,9 +763,15 @@ def _build_fused_kernel(table: ShapeTable, dt: float, vel_iters: int,
         # ---- position iterations --------------------------------------------
         ST = slp._static_transforms(ctx, pos_get)
         zero = lambda: jnp.zeros_like(px[0])
+        if value_carry:
+            DN0 = None
+        else:
+            DN0 = _DynSlots(dn_ref, dyn_bodies)
+            for b in dyn_bodies:
+                DN0[b] = zero()
         PX, PY, AN, DN = slp._run_pos_phase(
-            ctx, C, None, ST, PX, PY, AN, None, pos_iters, True, zero,
-            unroll=UNROLL,
+            ctx, C, lambda: C, ST, PX, PY, AN, DN0, pos_iters, value_carry,
+            zero, unroll=UNROLL,
         )
 
         # ---- sleep bookkeeping (b2Island::Solve tail) -----------------------
@@ -822,7 +897,9 @@ def step_fused(table: ShapeTable, bodies: Bodies, contacts: Contacts,
     ])  # [15P, E]
     pi = man.ids.reshape(P * 2, E).astype(jnp.int32)  # [2P, E]
 
-    kernel = _build_fused_kernel(table, float(dt), int(vel_iters), int(pos_iters))
+    value_carry = not REF_STATE
+    kernel = _build_fused_kernel(table, float(dt), int(vel_iters),
+                                 int(pos_iters), value_carry=value_carry)
 
     # per-cell plane budget (in+out f32 planes dominate the block working set)
     planes = 12 * B + 15 * P + 8 * B + 17 * P + 4 * P
@@ -856,6 +933,11 @@ def step_fused(table: ShapeTable, bodies: Bodies, contacts: Contacts,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 2**20),
         interpret=INTERPRET,
+        scratch_shapes=(
+            [] if value_carry else
+            [pltpu.VMEM((sum(1 for s in table.is_static if not s),
+                         S_BLK, LANES), jnp.float32)]
+        ),
     )(_tile(bf, S), _tile(pf, S), _tile(pi, S))
 
     bfo = _untile(bfo)  # [8B, E]

@@ -13,11 +13,17 @@ import os
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
-os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("GPT_TPU_TESTS"):
+    # keep the real TPU backend: for running the hardware-gated tests
+    # (e.g. tests/test_fused_numerics.py::test_fused_bitwise_on_tpu) --
+    # run selected files only; the 8-device mesh tests need the CPU mesh
+    pass
+else:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
 
 from gym_puzzles_tpu.utils import enable_compilation_cache  # noqa: E402
 

