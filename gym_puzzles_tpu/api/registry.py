@@ -54,12 +54,26 @@ def _obs_dim_for_shape(cfg: EnvConfig, shape: str) -> int:
 
 @functools.lru_cache(maxsize=None)
 def _logic(env_id: str, solver_unroll: bool = False, block_shape: str = "t",
-           num_agents: int | None = None, heavy: bool | None = None):
+           num_agents: int | None = None, heavy: bool | None = None,
+           simple: bool | None = None, anywhere: bool | None = None):
     import dataclasses
 
     cfg = registry_spec(env_id)
     if solver_unroll:
         cfg = dataclasses.replace(cfg, solver_unroll=True)
+    if simple is not None or anywhere is not None:
+        # SIMPLE/ANYWHERE are module constants of the v2 file only
+        # (02.py:61-62); the other variants have no such branches.
+        if cfg.variant != "v2":
+            raise ValueError(
+                "simple/anywhere are v2 spawn-branch capabilities "
+                "(multi_robot_puzzle_02.py:61-62); v0/v3 have none"
+            )
+        cfg = dataclasses.replace(
+            cfg,
+            v2_simple=cfg.v2_simple if simple is None else bool(simple),
+            v2_anywhere=cfg.v2_anywhere if anywhere is None else bool(anywhere),
+        )
     if num_agents is not None or heavy is not None:
         # The reference's constructor surface: only RobotPuzzleBase (v3) takes
         # world-shape kwargs (core.py:86-93); v0/v2 classes take none.
@@ -120,7 +134,8 @@ def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
          block_shape: str = "t", num_agents: int | None = None,
          heavy: bool | None = None, goal_velocity: float | None = None,
          block_density: float | None = None,
-         hardmode: bool | None = None) -> VectorEnv:
+         hardmode: bool | None = None, simple: bool | None = None,
+         anywhere: bool | None = None) -> VectorEnv:
     """Build a batched env.  ``reset_mode='reference'`` reproduces the
     reference's reset-takes-a-random-step contract exactly (00.py:411).
     ``backend='fused'`` runs the ENTIRE engine tick (narrow phase through
@@ -136,9 +151,17 @@ def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
     (core.py:204-211).  ``goal_velocity``, ``block_density`` and
     ``hardmode`` are accepted and ignored, exactly like the reference,
     where they are stored but never read (core.py:100-102 vs. the rest of
-    the file -- SURVEY quirk #12)."""
+    the file -- SURVEY quirk #12).
+
+    ``simple``/``anywhere`` (v2 only) select the file's spawn branches
+    (module constants SIMPLE/ANYWHERE, 02.py:61-62): ``simple=False``
+    places the block uniformly in the middle third with the tighter 0.3
+    goal border and random agent headings; ``anywhere=True`` spawns agents
+    across the full width instead of the left third (02.py:304-320,
+    349-360)."""
     del goal_velocity, block_density, hardmode  # quirk #12: dead in the reference too
     block_shape = _normalize_block_shape(block_shape)
-    return VectorEnv(_logic(env_id, solver_unroll, block_shape, num_agents, heavy),
+    return VectorEnv(_logic(env_id, solver_unroll, block_shape, num_agents,
+                            heavy, simple, anywhere),
                      num_envs, auto_reset=auto_reset, reset_mode=reset_mode,
                      batch_axis=batch_axis, backend=backend)

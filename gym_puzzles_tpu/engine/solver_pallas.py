@@ -51,6 +51,18 @@ INTERPRET = False
 # small env counts (exercises the non-aliased copy-in path).
 MAX_S_BLK = None
 
+# Position-phase transcendental elimination: compute exact cos/sin once per
+# dynamic body per SWEEP, then advance the cached rotation through each
+# intra-sweep angle update with a 3rd-order small-angle rotation
+# (cos dA ~ 1 - dA^2/2, sin dA ~ dA - dA^3/6).  Per-update angle deltas are
+# Baumgarte-limited (~1e-2 rad), so the truncation error ~dA^4/24 < 1e-9 is
+# two decades below f32 round-off -- semantics-preserving; equivalence vs
+# the exact-trig form is pinned in tests/test_pallas.py.  The exact form
+# recomputes cos/sin per pair VISIT (b2 semantics verbatim): ~4x more
+# transcendentals across the 60 position iterations (the largest single
+# cost in the step per the docs/BENCHMARKS.md ablation).
+POS_TRIG_INCREMENTAL = False
+
 # body_ref plane indices
 VELX, VELY, OM, POSX, POSY, ANG = range(6)
 # pairA plane names (per pair)
@@ -312,6 +324,17 @@ def _pos_sweep(ctx, Cl, ST, PXv, PYv, ANv, DNv, zero):
     inv_m, inv_i, lcx, lcy = ctx.inv_m, ctx.inv_i, ctx.lcx, ctx.lcy
     # per-body min separation accumulators, private to the iteration
     ms = {b: zero() for b in ctx.dyn_bodies}
+    # incremental-trig cache: exact once per sweep, advanced per update
+    CS = ({b: (jnp.cos(ANv[b]), jnp.sin(ANv[b])) for b in ctx.dyn_bodies}
+          if POS_TRIG_INCREMENTAL else None)
+
+    def rot_step(b, dA):
+        """Advance the cached (cos, sin) of body b by the small angle dA."""
+        c2 = 1.0 - 0.5 * dA * dA
+        s2 = dA * (1.0 - (1.0 / 6.0) * dA * dA)
+        cb0, sb0 = CS[b]
+        CS[b] = (cb0 * c2 - sb0 * s2, sb0 * c2 + cb0 * s2)
+
     for p in range(ctx.P):
         ia, ib = ia_l[p], ib_l[p]
         c = Cl[p]
@@ -322,14 +345,20 @@ def _pos_sweep(ctx, Cl, ST, PXv, PYv, ANv, DNv, zero):
         # transforms once per contact (b2 semantics); static sides
         # come from the hoisted constants
         if dyn[ia]:
-            ca, sa = jnp.cos(ANv[ia]), jnp.sin(ANv[ia])
+            if POS_TRIG_INCREMENTAL:
+                ca, sa = CS[ia]
+            else:
+                ca, sa = jnp.cos(ANv[ia]), jnp.sin(ANv[ia])
             orgax = PXv[ia] - (ca * lcx[ia] - sa * lcy[ia])
             orgay = PYv[ia] - (sa * lcx[ia] + ca * lcy[ia])
             pax, pay = PXv[ia], PYv[ia]
         else:
             ca, sa, orgax, orgay, pax, pay = ST[ia]
         if dyn[ib]:
-            cb, sb = jnp.cos(ANv[ib]), jnp.sin(ANv[ib])
+            if POS_TRIG_INCREMENTAL:
+                cb, sb = CS[ib]
+            else:
+                cb, sb = jnp.cos(ANv[ib]), jnp.sin(ANv[ib])
             orgbx = PXv[ib] - (cb * lcx[ib] - sb * lcy[ib])
             orgby = PYv[ib] - (sb * lcx[ib] + cb * lcy[ib])
             pbx, pby = PXv[ib], PYv[ib]
@@ -387,13 +416,19 @@ def _pos_sweep(ctx, Cl, ST, PXv, PYv, ANv, DNv, zero):
             if dyn[ia]:
                 PXv[ia] = PXv[ia] - inv_m[ia] * px
                 PYv[ia] = PYv[ia] - inv_m[ia] * py
-                ANv[ia] = ANv[ia] - inv_i[ia] * (rax * py - ray * px)
+                dAa = -inv_i[ia] * (rax * py - ray * px)
+                ANv[ia] = ANv[ia] + dAa
                 pax, pay = PXv[ia], PYv[ia]
+                if POS_TRIG_INCREMENTAL:
+                    rot_step(ia, dAa)
             if dyn[ib]:
                 PXv[ib] = PXv[ib] + inv_m[ib] * px
                 PYv[ib] = PYv[ib] + inv_m[ib] * py
-                ANv[ib] = ANv[ib] + inv_i[ib] * (rby * px - rbx * py) * (-1.0)
+                dAb = inv_i[ib] * (rby * px - rbx * py) * (-1.0)
+                ANv[ib] = ANv[ib] + dAb
                 pbx, pby = PXv[ib], PYv[ib]
+                if POS_TRIG_INCREMENTAL:
+                    rot_step(ib, dAb)
 
     # island-wide minimum via min-propagation over touching links;
     # diameter of the dynamic contact graph is < n_dyn

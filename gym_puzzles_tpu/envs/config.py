@@ -104,6 +104,13 @@ class EnvConfig:
     # statically unroll the solver's pair loops (TPU throughput path: bigger
     # HLO/compile, VMEM-resident fused iterations; see engine/solver.py)
     solver_unroll: bool = False
+    # v2 spawn-branch module constants (02.py:61-62): the registered envs
+    # run SIMPLE=True (block centered, agents heading 3/2*pi, goal border
+    # 0.4) / ANYWHERE=False (agents in the left third).  The dead branches
+    # (02.py:304-320,349-360) are part of the file's capability surface and
+    # are exposed through make(..., simple=False / anywhere=True).
+    v2_simple: bool = True
+    v2_anywhere: bool = False
 
 
 @struct.dataclass

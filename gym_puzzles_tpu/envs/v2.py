@@ -31,26 +31,42 @@ def norm_angle(a):
 
 
 class V2Env(PuzzleEnvLogic):
-    # -- spawn (02.py:303-361, SIMPLE=True/ANYWHERE=False paths) ------------
+    # -- spawn (02.py:303-361; SIMPLE/ANYWHERE branches selected by the
+    # cfg's v2_simple/v2_anywhere -- the registered envs run the module
+    # constants SIMPLE=True/ANYWHERE=False, 02.py:61-62) -------------------
     def _spawn(self, key):
         import jax
 
         lay = self.layout
         A = self.cfg.num_agents
-        kb_a, k_ag, kg_x, kg_y = jax.random.split(key, 4)
+        simple = self.cfg.v2_simple
+        anywhere = self.cfg.v2_anywhere
+        kb_a, kb_xy, k_ag, k_aang, kg_x, kg_y = jax.random.split(key, 6)
         w, h = lay.world_w, lay.world_h
         b = C.V2_BORDER
 
-        # SIMPLE: block centered, random angle (02.py:316-317)
-        bx = jnp.asarray(w / 2.0, F)
-        by = jnp.asarray(h / 2.0, F)
         bang = cm.uniform(kb_a, 0.0, 2.0 * np.pi)
+        if simple:
+            # block centered (02.py:316-317)
+            bx = jnp.asarray(w / 2.0, F)
+            by = jnp.asarray(h / 2.0, F)
+        else:
+            # block uniform in the middle third (02.py:318-320)
+            bxy = cm.uniform(
+                kb_xy, jnp.array([w / 3.0 + b, b]),
+                jnp.array([w * 2.0 / 3.0 - b, h - b]), (2,)
+            )
+            bx, by = bxy[0], bxy[1]
 
-        # agents in the left third, heading 3/2*pi (02.py:352-361)
+        # agents: left third (ANYWHERE=False) or full width (02.py:349-355)
+        ax_hi = (w - b) if anywhere else (w / 3.0 - b)
         axy = cm.uniform(
-            k_ag, jnp.array([b, b]), jnp.array([w / 3.0 - b, h - b]), (A, 2)
+            k_ag, jnp.array([b, b]), jnp.array([ax_hi, h - b]), (A, 2)
         )
-        a_ang = jnp.full((A,), 1.5 * np.pi, F)
+        if simple:
+            a_ang = jnp.full((A,), 1.5 * np.pi, F)  # 02.py:356
+        else:
+            a_ang = cm.uniform(k_aang, 0.0, 2.0 * np.pi, (A,))  # 02.py:357
 
         origin = jnp.concatenate(
             [jnp.asarray(self.wall_positions, F), jnp.stack([bx, by])[None], axy]
@@ -60,9 +76,10 @@ class V2Env(PuzzleEnvLogic):
 
         bodies = eng.init_bodies(lay.table, origin, angles)
 
-        # random goal in the right third, stored normalized (02.py:303-311,
-        # SIMPLE border 0.4)
-        gb = 0.4
+        # random goal in the right third, stored normalized (02.py:303-311;
+        # the goal border is 0.4 under SIMPLE, 0.3 otherwise -- a local
+        # shadow of the module BORDER, 02.py:305-306)
+        gb = 0.4 if simple else 0.3
         gx = cm.uniform(kg_x, w * 2.0 / 3.0 + gb, w - gb) * RATIO
         gy = cm.uniform(kg_y, gb, h - gb) * RATIO
         goal = jnp.stack([gx, gy, jnp.asarray(0.0, F)])

@@ -102,11 +102,68 @@ def test_v3_constructor_surface():
     # dead params change nothing (same cached logic object)
     from gym_puzzles_tpu.api import registry
 
-    assert registry._logic("MultiRobotPuzzle-v3", False, "t", 3, True) is env.logic
+    assert registry._logic("MultiRobotPuzzle-v3", False, "t", 3, True,
+                           None, None) is env.logic
 
     # v0/v2 reject the v3-only surface, like the reference's no-arg ctors
     with pytest.raises(ValueError):
         gpt.make("MultiRobotPuzzle-v0", num_envs=1, num_agents=3)
+
+
+def test_v2_spawn_branches():
+    """make() exposes the v2 file's dead spawn branches (SIMPLE/ANYWHERE
+    module constants, 02.py:61-62,304-320,349-360): simple=False places the
+    block uniformly in the middle third with random agent headings and the
+    0.3 goal border; anywhere=True spawns agents across the full width."""
+    from gym_puzzles_tpu.api.registry import _logic
+
+    E = 64
+    env = gpt.make("MultiRobotPuzzle-v2", num_envs=E, simple=False,
+                   anywhere=True)
+    logic = env.logic
+    lay = logic.layout
+    w, h = lay.world_w, lay.world_h
+    keys = jax.vmap(jax.random.fold_in, in_axes=(None, 0))(
+        jax.random.key(3), jnp.arange(E))
+    bodies, goals = jax.vmap(logic._spawn)(keys)
+    bpos = np.asarray(bodies.pos[:, lay.block_slot])       # [E, 2]
+    apos = np.asarray(bodies.pos[:, lay.agent_slots[0]])   # [E, 2]
+    aang = np.asarray(bodies.angle[:, lay.agent_slots[0]])
+    # block in the middle third (02.py:318-320), not pinned to the center
+    assert (bpos[:, 0] > w / 3).all() and (bpos[:, 0] < 2 * w / 3).all()
+    # genuinely random within the band (x band is w/3-0.6 ~ 0.26 m wide)
+    assert np.ptp(bpos[:, 0]) > 0.15 and np.ptp(bpos[:, 1]) > 0.4
+    # agents beyond the left third (ANYWHERE), random headings (not SIMPLE)
+    assert apos[:, 0].max() > w / 3
+    assert np.ptp(aang) > 1.0
+    # goal border 0.3 (non-SIMPLE, 02.py:305-306): unnormalized x bounds
+    from gym_puzzles_tpu.envs.config import V2_RATIO
+
+    gx = np.asarray(goals[:, 0]) / V2_RATIO
+    assert (gx >= w * 2 / 3 + 0.3 - 1e-4).all()
+    assert (gx <= w - 0.3 + 1e-4).all()
+    # this seed draws goals inside the SIMPLE-forbidden 0.1 bands,
+    # witnessing the wider non-SIMPLE range (deterministic, fixed key)
+    assert gx.max() > w - 0.4 or gx.min() < w * 2 / 3 + 0.4
+
+    # default env unchanged: SIMPLE block pinned at the center (bodies.pos
+    # is the COM = origin + R(angle)*localCenter, so recover the origin)
+    env_d = gpt.make("MultiRobotPuzzle-v2", num_envs=4)
+    bodies_d, _ = jax.vmap(env_d.logic._spawn)(keys[:4])
+    bp = np.asarray(bodies_d.pos[:, lay.block_slot])
+    ang = np.asarray(bodies_d.angle[:, lay.block_slot])
+    lc = np.asarray(lay.table.local_center[lay.block_slot])
+    c, s = np.cos(ang), np.sin(ang)
+    ox = bp[:, 0] - (c * lc[0] - s * lc[1])
+    oy = bp[:, 1] - (s * lc[0] + c * lc[1])
+    assert np.allclose(ox, w / 2, atol=1e-5) and np.allclose(oy, h / 2, atol=1e-5)
+
+    # distinct cached logic objects; v0/v3 reject the surface
+    assert _logic("MultiRobotPuzzle-v2") is not logic
+    with pytest.raises(ValueError):
+        gpt.make("MultiRobotPuzzle-v0", num_envs=1, simple=False)
+    with pytest.raises(ValueError):
+        gpt.make("MultiRobotPuzzle-v3", num_envs=1, anywhere=True)
 
 
 def test_reference_reset_mode():

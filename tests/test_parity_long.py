@@ -143,6 +143,68 @@ def test_v3_contact_500_steps_divergence_saturates():
 
 
 # ---------------------------------------------------------------------------
+# full-episode return parity under reference spawns, all five variants
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("env_id", [
+    "MultiRobotPuzzle-v0", "MultiRobotPuzzleHeavy-v0",
+    "MultiRobotPuzzle-v2", "MultiRobotPuzzleHeavy-v2",
+    "MultiRobotPuzzle-v3",
+])
+def test_full_episode_return_parity(env_id):
+    """Drive a 400-step episode from the reference's OWN spawn distribution
+    (np.random-seeded, mirrored into the rebuild via inject) with a shared
+    random action stream, and compare total returns.  Measured: relative
+    return differences of 0-3e-4 across the five variants (v0 3e-4 with a
+    spawn-contact transient, v2/Heavy-v2 ~0, v3 2e-4); asserted at 2e-3.
+    Reference spawn distributions: 00.py:311-315,366-367; 02.py:303-361;
+    core.py:212-232."""
+    np.random.seed(1000)  # seeds the reference's global-np.random spawns
+    ref = oracle.make_reference(env_id)
+    is_v2 = env_id.endswith("v2")
+    if is_v2:
+        ref.update_params(0, 0.997)  # quirk #7: v2 needs update_params
+    pos, ang = oracle.body_origin_poses(env_id, ref)
+    bp = (pos[4][0], pos[4][1], ang[4])
+    aps = [(pos[5 + i][0], pos[5 + i][1], ang[5 + i])
+           for i in range(len(pos) - 5)]
+    logic = _logic(env_id)
+    if env_id.endswith("v3"):
+        oracle.inject_v3(ref, bp, aps)
+        goal = logic.goal_norm
+    elif is_v2:
+        goal = np.asarray(ref.block_final_pos[ref.goal_block.userData],
+                          np.float32)
+        oracle.inject_v2(ref, bp, aps, goal)
+    else:
+        oracle.inject_v0(ref, bp, aps)
+        goal = np.array([320.0, 262.5, 0.0], np.float32)
+    params = logic.default_params()
+    if is_v2:
+        params = params.update_params(0, 0.997)
+    state = logic.inject(pos, ang, goal)
+    step = jax.jit(logic.step)
+
+    rng = np.random.RandomState(0)
+    ret_r = ret_m = 0.0
+    done_r = done_m = None
+    for t in range(400):
+        a = rng.uniform(-1, 1, logic.cfg.act_dim)
+        o_r, r_r, d_r, _ = ref.step(a.astype(np.float64))
+        state, o_m, r_m, d_m, _ = step(state, jnp.asarray(a, jnp.float32),
+                                       params)
+        ret_r += float(r_r)
+        ret_m += float(r_m)
+        if d_r or bool(d_m):
+            done_r, done_m = bool(d_r), bool(d_m)
+            break
+    assert done_r == done_m, (done_r, done_m)
+    rel = abs(ret_m - ret_r) / max(abs(ret_r), 1.0)
+    assert rel < 2e-3, (ret_r, ret_m, rel)
+
+
+# ---------------------------------------------------------------------------
 # solve-order invariance (the island-traversal question from VERDICT item 2)
 # ---------------------------------------------------------------------------
 
