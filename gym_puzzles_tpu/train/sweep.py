@@ -159,6 +159,9 @@ def main(argv=None):
                         '{"values": [0.99, 0.999]}}\'')
     p.add_argument("--out", default=None, type=str, help="results JSONL path")
     p.add_argument("--update_goal", action="store_true")
+    p.add_argument("--update_params_decay", default=None, type=float,
+                   help="v2 reward curriculum: per-update env.update_params"
+                        "(timestep, decay) decay factor (02.py:227-230)")
     p.add_argument("--env_backend", default=None,
                    choices=["xla", "pallas", "fused"])
     for name in ("n_envs", "n_steps", "batch_size", "n_epochs"):
@@ -179,6 +182,7 @@ def main(argv=None):
             ("--env_backend", args.env_backend), ("--n_steps", args.n_steps),
             ("--batch_size", args.batch_size), ("--n_epochs", args.n_epochs),
             ("--update_goal", args.update_goal),
+            ("--update_params_decay", args.update_params_decay),
             ("--eval_episodes", args.eval_episodes),
         ] if val]
         if dropped:
@@ -199,6 +203,8 @@ def main(argv=None):
             overrides["env_id"] = args.env
         if args.update_goal:
             overrides["update_goal"] = True
+        if args.update_params_decay is not None:
+            overrides["update_params_decay"] = args.update_params_decay
         if args.env_backend:
             overrides["env_backend"] = args.env_backend
         for name in ("n_envs", "n_steps", "batch_size", "n_epochs"):
