@@ -61,7 +61,11 @@ MAX_S_BLK = None
 # recomputes cos/sin per pair VISIT (b2 semantics verbatim): ~4x more
 # transcendentals across the 60 position iterations (the largest single
 # cost in the step per the docs/BENCHMARKS.md ablation).
-POS_TRIG_INCREMENTAL = False
+# Default ON after on-chip measurement (docs/BENCHMARKS.md): 4.42M vs
+# 3.90M steps/s at 4096 envs, and BITWISE-identical end state (pos/angle/
+# vel/obs max |diff| = 0.0) to the exact form over the 12-step contact
+# drive of docs/benchmarks/validate_fused.py on v5e.
+POS_TRIG_INCREMENTAL = True
 
 # body_ref plane indices
 VELX, VELY, OM, POSX, POSY, ANG = range(6)
