@@ -159,10 +159,23 @@ def test_full_episode_return_parity(env_id):
     return differences of 0-3e-4 across the five variants (v0 3e-4 with a
     spawn-contact transient, v2/Heavy-v2 ~0, v3 2e-4); asserted at 2e-3.
     Reference spawn distributions: 00.py:311-315,366-367; 02.py:303-361;
-    core.py:212-232."""
+    core.py:212-232.
+
+    Horizon: the v2 variants' XLA step unrolls 180/60 solver iterations
+    over 53 contact pairs, which executes at ~6 s/step on this 2-vCPU CI
+    host — the full 400-step drive costs ~40 min PER v2 variant.  CI runs
+    the v2 variants at 120 steps (still covers spawn, sustained contact,
+    and the shaped-reward stream); RUN_SLOW_PARITY=1 restores the full
+    400-step drive, which is how the docs/PARITY.md numbers were
+    measured."""
+    import os
+
     np.random.seed(1000)  # seeds the reference's global-np.random spawns
     ref = oracle.make_reference(env_id)
     is_v2 = env_id.endswith("v2")
+    n_steps = 400
+    if is_v2 and not os.environ.get("RUN_SLOW_PARITY"):
+        n_steps = 120
     if is_v2:
         ref.update_params(0, 0.997)  # quirk #7: v2 needs update_params
     pos, ang = oracle.body_origin_poses(env_id, ref)
@@ -189,7 +202,7 @@ def test_full_episode_return_parity(env_id):
     rng = np.random.RandomState(0)
     ret_r = ret_m = 0.0
     done_r = done_m = None
-    for t in range(400):
+    for t in range(n_steps):
         a = rng.uniform(-1, 1, logic.cfg.act_dim)
         o_r, r_r, d_r, _ = ref.step(a.astype(np.float64))
         state, o_m, r_m, d_m, _ = step(state, jnp.asarray(a, jnp.float32),
