@@ -4,7 +4,8 @@ Usage: python docs/benchmarks/bench_pos_trig.py [on|off] [num_envs]
 """
 import sys
 
-sys.path.insert(0, "/root/repo")
+import pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 
 import gym_puzzles_tpu.engine.solver_pallas as slp
 

@@ -1,5 +1,6 @@
 import sys, time
-sys.path.insert(0, "/root/repo")
+import pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[2]))
 import jax, jax.numpy as jnp, jax.random as jr
 import numpy as np
 from gym_puzzles_tpu.api.registry import _logic

@@ -57,7 +57,8 @@ MAX_S_BLK = None
 # (cos dA ~ 1 - dA^2/2, sin dA ~ dA - dA^3/6).  Per-update angle deltas are
 # Baumgarte-limited (~1e-2 rad), so the truncation error ~dA^4/24 < 1e-9 is
 # two decades below f32 round-off -- semantics-preserving; equivalence vs
-# the exact-trig form is pinned in tests/test_pallas.py.  The exact form
+# the exact-trig form is pinned in tests/test_fused_numerics.py
+# (test_pos_trig_incremental_matches_exact).  The exact form
 # recomputes cos/sin per pair VISIT (b2 semantics verbatim): ~4x more
 # transcendentals across the 60 position iterations (the largest single
 # cost in the step per the docs/BENCHMARKS.md ablation).

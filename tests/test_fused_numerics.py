@@ -142,6 +142,7 @@ def test_pos_trig_incremental_matches_exact():
     v2 = jnp.broadcast_to(jnp.array([0.0, 4 / 3.0])[:, None], (2, E))
 
     old_i = solver_pallas.INTERPRET
+    old_t = solver_pallas.POS_TRIG_INCREMENTAL
     solver_pallas.INTERPRET = True
     try:
         outs = {}
@@ -157,7 +158,7 @@ def test_pos_trig_incremental_matches_exact():
             outs[flag] = (np.asarray(b.pos), np.asarray(b.angle),
                           np.asarray(c.normal_impulse))
     finally:
-        solver_pallas.POS_TRIG_INCREMENTAL = False
+        solver_pallas.POS_TRIG_INCREMENTAL = old_t
         solver_pallas.INTERPRET = old_i
 
     assert bool(outs[False][2].any()), "no contact formed"
