@@ -334,9 +334,16 @@ def _pos_sweep(ctx, Cl, ST, PXv, PYv, ANv, DNv, zero):
           if POS_TRIG_INCREMENTAL else None)
 
     def rot_step(b, dA):
-        """Advance the cached (cos, sin) of body b by the small angle dA."""
-        c2 = 1.0 - 0.5 * dA * dA
-        s2 = dA * (1.0 - (1.0 / 6.0) * dA * dA)
+        """Advance the cached (cos, sin) of body b by the small angle dA.
+
+        5th-order small-angle advance: truncation ~dA^6/720 stays below
+        f32 ulp even at the largest observed per-update deltas (deep-
+        overlap spawn resolution drives |dA| to ~0.14 rad on v2's
+        low-inertia wheel bodies, where the earlier 3rd-order form's
+        dA^4/24 ~ 1.6e-5 became measurable -- docs/BENCHMARKS.md)."""
+        dA2 = dA * dA
+        c2 = 1.0 - dA2 * (0.5 - dA2 * (1.0 / 24.0))
+        s2 = dA * (1.0 - dA2 * ((1.0 / 6.0) - dA2 * (1.0 / 120.0)))
         cb0, sb0 = CS[b]
         CS[b] = (cb0 * c2 - sb0 * s2, sb0 * c2 + cb0 * s2)
 

@@ -62,7 +62,9 @@ def build_parser():
 
 def main(argv=None):
     from gym_puzzles_tpu.train.ppo import PPO, PPOConfig
+    from gym_puzzles_tpu.utils import enable_compilation_cache
 
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     config = {}
     if args.config:

@@ -250,6 +250,9 @@ def main(argv=None):
 
     from gym_puzzles_tpu.train.ppo import PPO, PPOConfig
     from gym_puzzles_tpu.train import checkpoint as ckpt
+    from gym_puzzles_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
 
     p = argparse.ArgumentParser(description="Evaluate a trained policy")
     p.add_argument("--checkpoint", required=True, type=str,

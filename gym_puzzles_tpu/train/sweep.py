@@ -143,6 +143,9 @@ def main(argv=None):
     """
     import argparse
 
+    from gym_puzzles_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     p = argparse.ArgumentParser(description="gym_puzzles_tpu hyperparameter sweep")
     p.add_argument("--config", default=None, type=str, help="JSON config path")
     p.add_argument("--env", default=None, type=str, help="env id override")
