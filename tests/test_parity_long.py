@@ -213,6 +213,12 @@ def test_full_episode_return_parity(env_id):
             done_r, done_m = bool(d_r), bool(d_m)
             break
     assert done_r == done_m, (done_r, done_m)
+    # done_r/done_m stay None when NEITHER side terminated inside the
+    # horizon -- the parity assertion is then "both ran the full drive".
+    # Make the coverage explicit in the log so a slow-gated 400-step run
+    # records whether termination parity was actually exercised.
+    print(f"{env_id}: steps={t + 1} terminated={done_r is not None} "
+          f"ret_ref={ret_r:.2f} ret_ours={ret_m:.2f}")
     rel = abs(ret_m - ret_r) / max(abs(ret_r), 1.0)
     assert rel < 2e-3, (ret_r, ret_m, rel)
 
