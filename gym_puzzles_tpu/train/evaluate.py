@@ -31,7 +31,14 @@ def _make_eval_env(env_id: str, n: int, image_cfg=None):
     """Dedicated eval env: auto_reset off, reference reset semantics.  For
     CNN runs this is a DeviceImageVectorEnv with the training pipeline's
     frame config -- the SB3 analogue is that eval wraps whatever policy
-    trained (test.py:60-76)."""
+    trained (test.py:60-76).
+
+    On a real TPU with a lane-aligned batch the eval env rides the fused
+    whole-tick kernel instead of the XLA solver: a 64-episode v2 eval
+    through the scan-form XLA solver costs ~10-16 min of 2000-step
+    episodes, while the fused kernel does 128 lanes in seconds -- which is
+    what makes honest-eval-ranked sweeps affordable.  CPU (tests) and
+    ragged batches keep the portable XLA path."""
     if image_cfg is not None:
         from gym_puzzles_tpu.api.image_obs import DeviceImageVectorEnv
 
@@ -42,7 +49,10 @@ def _make_eval_env(env_id: str, n: int, image_cfg=None):
                                     reset_mode="reference")
     from gym_puzzles_tpu.api.registry import make
 
-    return make(env_id, num_envs=n, auto_reset=False, reset_mode="reference")
+    backend = ("fused" if n % 128 == 0 and jax.default_backend() == "tpu"
+               else "xla")
+    return make(env_id, num_envs=n, auto_reset=False,
+                reset_mode="reference", backend=backend)
 
 
 def _use_obs_norm(algo) -> bool:
