@@ -173,8 +173,13 @@ def test_full_episode_return_parity(env_id):
     np.random.seed(1000)  # seeds the reference's global-np.random spawns
     ref = oracle.make_reference(env_id)
     is_v2 = env_id.endswith("v2")
+    # Heavy-v0's XLA step (5 agents -> ~55 contact pairs) costs as much as
+    # v2's on this CI host, so it gets the same reduced default horizon;
+    # RUN_SLOW_PARITY=1 restores the full 400-step drives the docs/PARITY
+    # numbers were measured at.
+    is_slow_variant = is_v2 or env_id == "MultiRobotPuzzleHeavy-v0"
     n_steps = 400
-    if is_v2 and not os.environ.get("RUN_SLOW_PARITY"):
+    if is_slow_variant and not os.environ.get("RUN_SLOW_PARITY"):
         n_steps = 120
     if is_v2:
         ref.update_params(0, 0.997)  # quirk #7: v2 needs update_params
