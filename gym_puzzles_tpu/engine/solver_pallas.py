@@ -53,19 +53,24 @@ MAX_S_BLK = None
 
 # Position-phase transcendental elimination: compute exact cos/sin once per
 # dynamic body per SWEEP, then advance the cached rotation through each
-# intra-sweep angle update with a 3rd-order small-angle rotation
-# (cos dA ~ 1 - dA^2/2, sin dA ~ dA - dA^3/6).  Per-update angle deltas are
-# Baumgarte-limited (~1e-2 rad), so the truncation error ~dA^4/24 < 1e-9 is
-# two decades below f32 round-off -- semantics-preserving; equivalence vs
-# the exact-trig form is pinned in tests/test_fused_numerics.py
-# (test_pos_trig_incremental_matches_exact).  The exact form
-# recomputes cos/sin per pair VISIT (b2 semantics verbatim): ~4x more
-# transcendentals across the 60 position iterations (the largest single
-# cost in the step per the docs/BENCHMARKS.md ablation).
-# Default ON after on-chip measurement (docs/BENCHMARKS.md): 4.42M vs
-# 3.90M steps/s at 4096 envs, and BITWISE-identical end state (pos/angle/
-# vel/obs max |diff| = 0.0) to the exact form over the 12-step contact
-# drive of docs/benchmarks/validate_fused.py on v5e.
+# intra-sweep angle update with a 5th-order small-angle rotation (see
+# rot_step below; truncation ~dA^6/720).  Typical per-update angle deltas
+# are Baumgarte-limited (~1e-2 rad); the worst observed case is v2's
+# deep-overlap spawn resolution driving |dA| to ~0.14 rad on the
+# low-inertia wheel bodies, where the earlier 3rd-order form's dA^4/24
+# truncation became measurable (1.7e-5 rad after 12 contact steps --
+# docs/BENCHMARKS.md).  Equivalence vs the exact-trig form is pinned in
+# tests/test_fused_numerics.py (test_pos_trig_incremental_matches_exact).
+# The exact form recomputes cos/sin per pair VISIT (b2 semantics
+# verbatim): ~4x more transcendentals across the 60 position iterations
+# (the largest single cost in the step per the docs/BENCHMARKS.md
+# ablation).  Default ON after on-chip measurement (docs/BENCHMARKS.md):
+# 4.40-4.42M vs 3.90M steps/s at 4096 envs.  Bitwise scope: v0's end
+# state is BITWISE identical to the exact form over the 12-step contact
+# drive of docs/benchmarks/validate_fused.py on v5e; v2's residual is
+# ulp accumulation in the cached-rotation products (3.3e-6 rad / 4.8e-7 m
+# after 12 chaotic steps), two orders below the engine's ~5e-3 measured
+# parity floor vs Box2D (docs/PARITY.md).
 POS_TRIG_INCREMENTAL = True
 
 # body_ref plane indices

@@ -170,6 +170,49 @@ class RewardParams:
             scaled_epsilon=f(w["eps"]),
         )
 
+    # Reference set_reward_params kwarg name -> RewardParams field
+    # (00.py:231-239, 02.py:216-225, core.py:149-155).
+    REFERENCE_WEIGHT_NAMES = {
+        "agentDelta": "weight_delta_agent",
+        "agentDistance": "weight_agent_dist",
+        "blockDelta": "weight_delta_block",
+        "blockDistance": "weight_blk_dist",
+        "puzzleComp": "puzzle_complete_reward",
+        "outOfBounds": "out_of_bounds_penalty",
+        "blkOutOfBounds": "blk_out_of_bounds_penalty",
+    }
+
+    def set_reward_params(self, **kw):
+        """Reference ``set_reward_params`` (00.py:231-239): override reward
+        weights by their reference kwarg names.  The three base
+        penalties/rewards also reset their ``shaped_*`` copies (the
+        reference's update_params recomputes shaped values from the bases,
+        02.py:227-230; until it runs, shaped == base here -- the
+        flag-gated quirk-#7 fix).
+
+        These are LIVE v0 surfaces: the four weight_* fields are consumed
+        every step by the v0 reward (00.py:480-492), which is what makes a
+        reward-weight curriculum possible inside the reference's own
+        capability envelope (puzzleComp, by contrast, is dead in v0 --
+        completion pays the constant FINAL_REWARD, 00.py:515-517).
+
+        numpy leaves (not jnp) for the same closure-capture reason as
+        :meth:`default`."""
+        repl = {}
+        for name, value in kw.items():
+            field = self.REFERENCE_WEIGHT_NAMES.get(name, name)
+            if field not in {f.name for f in dataclasses.fields(self)}:
+                raise TypeError(f"unknown reward param {name!r}")
+            repl[field] = np.float32(value)
+        for base, shaped in (
+            ("out_of_bounds_penalty", "shaped_bounds_penalty"),
+            ("blk_out_of_bounds_penalty", "shaped_blk_bounds_penalty"),
+            ("puzzle_complete_reward", "shaped_puzzle_reward"),
+        ):
+            if base in repl and shaped not in repl:
+                repl[shaped] = repl[base]
+        return self.replace(**repl)
+
     def update_params(self, timestep, decay):
         """Reference ``update_params`` (00.py:241-243, 02.py:227-230): shaped
         penalties/rewards scaled by decay**(-timestep)."""

@@ -42,6 +42,15 @@ def build_parser():
     p.add_argument("--update_goal", action="store_true",
                    help="shrink the goal epsilon over training (the "
                         "reference's env.update_goal(epoch, nb_epochs))")
+    p.add_argument("--set_reward_params", default=None, type=str,
+                   help="reward-weight overrides by the reference's "
+                        "set_reward_params kwarg names (00.py:231-239), "
+                        "e.g. 'agentDelta=30,blockDelta=400,"
+                        "blockDistance=0.005'")
+    p.add_argument("--reward_anneal_updates", default=None, type=int,
+                   help="linearly anneal --set_reward_params overrides back "
+                        "to the variant defaults over the first N updates "
+                        "(reward-weight curriculum; dynamic, no recompile)")
     p.add_argument("--env_backend", default=None,
                    choices=["xla", "pallas", "fused"],
                    help="engine backend: fused = whole engine tick in one "
@@ -90,6 +99,14 @@ def main(argv=None):
         overrides["update_goal"] = True
     if args.anneal_lr:
         overrides["anneal_lr"] = True
+    if args.set_reward_params:
+        overrides["reward_params"] = tuple(
+            (k.strip(), float(v))
+            for k, v in (item.split("=") for item in
+                         args.set_reward_params.split(",") if item)
+        )
+    if args.reward_anneal_updates is not None:
+        overrides["reward_anneal_updates"] = args.reward_anneal_updates
     overrides["seed"] = args.seed
     overrides["total_timesteps"] = args.total_timesteps
 
@@ -129,6 +146,7 @@ def main(argv=None):
 
     state = algo.init_state()
     if args.resume:
+        import jax
         import jax.numpy as jnp
 
         from gym_puzzles_tpu.train import checkpoint as ckpt
@@ -136,9 +154,16 @@ def main(argv=None):
 
         state = ckpt.restore(args.resume, state)
         # the session's config/CLI hyperparameters win over the checkpoint's
-        # saved HParams (pre-HParams behavior: cfg was baked into the program)
+        # saved HParams (pre-HParams behavior: cfg was baked into the program).
+        # Same for env reward params: a resumed leg starts from THIS session's
+        # --set_reward_params (or the variant defaults) rather than whatever
+        # curriculum state the previous leg ended on -- which is what makes
+        # two-leg weight-curriculum recipes (shaped leg -> default-weights
+        # converge leg) explicit.
+        env_params = (algo.ppo if hasattr(algo, "ppo") else algo).env_params
         state = state.replace(
             hparams=HParams.from_config(cfg),
+            env_params=jax.tree_util.tree_map(jnp.asarray, env_params),
             normalizer=state.normalizer.replace(
                 gamma=jnp.asarray(cfg.gamma, jnp.float32)),
         )

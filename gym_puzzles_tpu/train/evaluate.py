@@ -27,6 +27,19 @@ def _image_pipeline(algo):
             env.block_shape)
 
 
+def _flat_eval_backend(n: int) -> str:
+    """Which engine backend a flat-obs eval env of batch ``n`` rides.
+
+    The fused whole-tick kernel needs lane-aligned batches on real TPU
+    hardware (n % 128 == 0); everything else takes the portable XLA path.
+    Exposed as a function (rather than buried in _make_eval_env) so eval
+    results can RECORD which numeric path produced them -- 64-episode
+    (xla) and 128-episode (fused) evals of the same checkpoint differ at
+    f32 round-off (measured benign: docs/BENCHMARKS.md's 64-xla vs
+    128-fused v2 agreement), and "solved" claims should be attributable."""
+    return "fused" if n % 128 == 0 and jax.default_backend() == "tpu" else "xla"
+
+
 def _make_eval_env(env_id: str, n: int, image_cfg=None):
     """Dedicated eval env: auto_reset off, reference reset semantics.  For
     CNN runs this is a DeviceImageVectorEnv with the training pipeline's
@@ -49,8 +62,8 @@ def _make_eval_env(env_id: str, n: int, image_cfg=None):
                                     reset_mode="reference")
     from gym_puzzles_tpu.api.registry import make
 
-    backend = ("fused" if n % 128 == 0 and jax.default_backend() == "tpu"
-               else "xla")
+    backend = _flat_eval_backend(n)
+    print(f"# eval env: {env_id} n={n} backend={backend}")
     return make(env_id, num_envs=n, auto_reset=False,
                 reset_mode="reference", backend=backend)
 
@@ -324,8 +337,13 @@ def main(argv=None):
         mean, std, returns = evaluate_policy(
             algo, state, n_episodes=args.n_episodes, seed=args.seed,
             max_steps=args.max_steps, deterministic=not args.stochastic)
+    if cfg.policy == "cnn":
+        eval_backend = "device-image"
+    else:
+        eval_backend = _flat_eval_backend(args.n_episodes if args.batched else 1)
     print(json.dumps({"env_id": cfg.env_id, "checkpoint": args.checkpoint,
                       "trained_timesteps": int(state.timesteps),
+                      "eval_backend": eval_backend, "batched": args.batched,
                       "mean_return": mean, "std_return": std,
                       "returns": returns}))
     if args.video:

@@ -67,6 +67,17 @@ class PPOConfig:
     # Linear lr decay over the run (SB3's `learning_rate=linear_schedule`).
     # Implemented via the dynamic HParams pytree -- no recompiles.
     anneal_lr: bool = False
+    # Reward-weight overrides by the reference's set_reward_params kwarg
+    # names (00.py:231-239), e.g. (("agentDelta", 30.0), ("blockDelta",
+    # 400.0)).  A LIVE v0-family surface: the weights are consumed every
+    # step (00.py:480-492), so a shaping curriculum on them stays inside
+    # the reference's own capability envelope.  Tuple-of-pairs (not dict)
+    # keeps the config hashable.
+    reward_params: tuple = ()
+    # Linearly anneal the reward_params overrides back to the variant's
+    # defaults over the first N updates of the run (0 = hold them fixed).
+    # Weights ride TrainState as dynamic scalars -- no recompiles.
+    reward_anneal_updates: int = 0
 
     @staticmethod
     def from_reference_json(config: dict, **overrides) -> "PPOConfig":
@@ -183,7 +194,11 @@ class PPO:
         # are applied manually from the DYNAMIC HParams so sweeps/schedules
         # never recompile (see HParams).
         self.tx = optax.scale_by_adam(eps=1e-5)
-        self.env_params = env.default_params()
+        self.default_env_params = env.default_params()
+        self.env_params = (
+            self.default_env_params.set_reward_params(**dict(cfg.reward_params))
+            if cfg.reward_params else self.default_env_params
+        )
         self._train_step = jax.jit(self._build_train_step(), donate_argnums=0)
 
     # ------------------------------------------------------------------
@@ -451,6 +466,30 @@ class PPO:
         TrainState as traced arrays, so this never recompiles."""
         cfg = self.cfg
         p = ts.env_params
+        if cfg.reward_anneal_updates and cfg.reward_params:
+            # Reward-weight curriculum: linearly anneal the set_reward_params
+            # overrides (self.env_params) back to the variant defaults over
+            # the first reward_anneal_updates updates.  Computed host-side
+            # from the static start/end tables each update; the annealed
+            # scalars ride TrainState, so the schedule never recompiles.
+            from gym_puzzles_tpu.envs.config import RewardParams
+
+            frac = min(1.0, update / max(1, cfg.reward_anneal_updates))
+            fields = {RewardParams.REFERENCE_WEIGHT_NAMES.get(k, k)
+                      for k, _ in cfg.reward_params}
+            for base, shaped in (
+                ("out_of_bounds_penalty", "shaped_bounds_penalty"),
+                ("blk_out_of_bounds_penalty", "shaped_blk_bounds_penalty"),
+                ("puzzle_complete_reward", "shaped_puzzle_reward"),
+            ):
+                if base in fields:
+                    fields.add(shaped)
+            repl = {
+                f: np.float32((1.0 - frac) * float(getattr(self.env_params, f))
+                              + frac * float(getattr(self.default_env_params, f)))
+                for f in fields
+            }
+            p = p.replace(**repl)
         if cfg.update_params_decay is not None:
             p = p.update_params(ts.timesteps, cfg.update_params_decay)
         if cfg.update_goal:
@@ -465,6 +504,13 @@ class PPO:
             ts = ts.replace(hparams=ts.hparams.replace(
                 learning_rate=ts.hparams.lr_base * jnp.float32(frac)))
         return ts
+
+    def set_reward_params(self, ts: TrainState, **kw):
+        """The reference's ``env.set_reward_params`` (00.py:231-239) on a
+        live TrainState: override reward weights by their reference kwarg
+        names (agentDelta, agentDistance, blockDelta, blockDistance,
+        puzzleComp, outOfBounds, blkOutOfBounds) without recompiling."""
+        return ts.replace(env_params=ts.env_params.set_reward_params(**kw))
 
     def set_hparams(self, ts: TrainState, **kw):
         """Update dynamic optimization knobs (see HParams) on a live

@@ -120,10 +120,13 @@ def test_fused_ref_state_small_world():
 
 def test_pos_trig_incremental_matches_exact():
     """POS_TRIG_INCREMENTAL (solver_pallas): exact cos/sin once per sweep +
-    3rd-order small-angle advance per intra-sweep update.  Measured BITWISE
-    identical to the exact per-visit form (truncation error ~dA^4/24 is two
-    decades below f32 ulp); asserted at 1e-6 with the transcendental
-    reduction proven at the trace level (33 -> 10 cos ops on the v0 step)."""
+    5th-order small-angle advance per intra-sweep update (truncation
+    ~dA^6/720).  Measured BITWISE identical to the exact per-visit form on
+    v0; asserted at 1e-6 atol, which also covers the v2-style non-bitwise
+    residual (ulp accumulation in the cached-rotation products, ~3.3e-6
+    rad after 12 chaotic contact steps -- docs/BENCHMARKS.md).  The
+    transcendental reduction is proven at the trace level (33 -> 10 cos
+    ops on the v0 step)."""
     from gym_puzzles_tpu.engine import solver_pallas
     from gym_puzzles_tpu.engine import world as eng
 

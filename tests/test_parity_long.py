@@ -163,11 +163,12 @@ def test_full_episode_return_parity(env_id):
 
     Horizon: the v2 variants' XLA step unrolls 180/60 solver iterations
     over 53 contact pairs, which executes at ~6 s/step on this 2-vCPU CI
-    host — the full 400-step drive costs ~40 min PER v2 variant.  CI runs
-    the v2 variants at 120 steps (still covers spawn, sustained contact,
-    and the shaped-reward stream); RUN_SLOW_PARITY=1 restores the full
-    400-step drive, which is how the docs/PARITY.md numbers were
-    measured."""
+    host — the full 400-step drive costs ~40 min PER v2 variant.
+    Heavy-v0 (5 agents -> ~55 contact pairs) costs about the same.  CI
+    runs those slow variants (both v2s + Heavy-v0) at 120 steps (still
+    covers spawn, sustained contact, and the shaped-reward stream);
+    RUN_SLOW_PARITY=1 restores the full 400-step drive, which is how the
+    docs/PARITY.md numbers were measured."""
     import os
 
     np.random.seed(1000)  # seeds the reference's global-np.random spawns

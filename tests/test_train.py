@@ -106,6 +106,56 @@ def test_curriculum_hooks_run_without_recompile():
         assert algo._train_step._cache_size() == 1  # no retrace across updates
 
 
+def test_reward_weight_curriculum():
+    """The reference's LIVE v0 shaping surface (set_reward_params,
+    00.py:231-239, consumed every step at 00.py:480-492) as a trainer
+    curriculum: --set_reward_params overrides start the run, and
+    reward_anneal_updates linearly anneals them back to the variant
+    defaults -- all through TrainState, no retraces."""
+    cfg = tiny_cfg(
+        reward_params=(("agentDelta", 30.0), ("blockDelta", 400.0),
+                       ("blockDistance", 0.005)),
+        reward_anneal_updates=4,
+    )
+    algo = PPO(cfg)
+    # overrides applied at init (reference kwargs -> RewardParams fields)
+    assert float(algo.env_params.weight_delta_agent) == 30.0
+    assert float(algo.env_params.weight_delta_block) == 400.0
+    assert float(algo.env_params.weight_blk_dist) == np.float32(0.005)
+    # untouched fields keep defaults
+    assert float(algo.env_params.weight_agent_dist) == float(
+        algo.default_env_params.weight_agent_dist)
+
+    ts = algo.init_state()
+    # update 0: full overrides
+    ts0 = algo.apply_curriculum(ts, 0, 10)
+    assert float(jax.device_get(ts0.env_params.weight_delta_block)) == 400.0
+    # update 2: halfway between 400 and the default 50
+    ts2 = algo.apply_curriculum(ts, 2, 10)
+    mid = float(jax.device_get(ts2.env_params.weight_delta_block))
+    assert abs(mid - 225.0) < 1e-3
+    # update >= 4: defaults restored
+    ts9 = algo.apply_curriculum(ts, 9, 10)
+    assert float(jax.device_get(ts9.env_params.weight_delta_block)) == float(
+        algo.default_env_params.weight_delta_block)
+    assert float(jax.device_get(ts9.env_params.weight_delta_agent)) == float(
+        algo.default_env_params.weight_delta_agent)
+
+    # the train step runs with annealed params and never retraces
+    ts2, m = algo.train_step(ts2)
+    assert np.isfinite(jax.device_get(m)["loss"])
+    if hasattr(algo._train_step, "_cache_size"):
+        assert algo._train_step._cache_size() == 1
+
+    # live TrainState mutator mirrors the reference method
+    ts_r = algo.set_reward_params(ts2, agentDistance=0.5)
+    assert float(jax.device_get(ts_r.env_params.weight_agent_dist)) == 0.5
+    import pytest
+
+    with pytest.raises(TypeError):
+        algo.set_reward_params(ts2, notAWeight=1.0)
+
+
 def test_normalizer_stats():
     from gym_puzzles_tpu.train import normalize as nrm
     import jax.numpy as jnp
