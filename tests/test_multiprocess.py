@@ -14,6 +14,7 @@ import subprocess
 import sys
 
 WORKER = os.path.join(os.path.dirname(__file__), "_mp_ppo_worker.py")
+HB_WORKER = os.path.join(os.path.dirname(__file__), "_mp_heartbeat_worker.py")
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
@@ -60,3 +61,40 @@ def test_two_process_distributed_ppo():
         assert a["metrics"] == b["metrics"], f"step {step}"
     # training actually progressed
     assert results[1][0]["metrics"]["timesteps"] == 2 * 8 * 4
+
+
+def test_heartbeat_detects_dead_rank():
+    """The failure path a failure detector exists for: 2 real OS processes
+    complete one collective heartbeat round, then rank 1 stops
+    participating (silent stall).  Rank 0's next ping must raise
+    HeartbeatTimeout within its deadline instead of blocking forever in
+    the psum (parallel/health.py)."""
+    nproc, port = 2, "52127"
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, HB_WORKER, str(rank), str(nproc), port],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            cwd=REPO, env=env,
+        )
+        for rank in range(nproc)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+
+    rc0, out0, err0 = outs[0]
+    rc1, out1, err1 = outs[1]
+    assert "PING_OK" in out0 and "PING_OK" in out1, (outs,)
+    # the healthy rank detected the stall and raised within its deadline
+    assert "TIMEOUT_RAISED" in out0, f"rank0 never timed out:\n{out0}\n{err0}"
+    assert "NO_TIMEOUT" not in out0
+    assert rc0 == 0, (out0, err0)
