@@ -55,12 +55,22 @@ def _obs_dim_for_shape(cfg: EnvConfig, shape: str) -> int:
 @functools.lru_cache(maxsize=None)
 def _logic(env_id: str, solver_unroll: bool = False, block_shape: str = "t",
            num_agents: int | None = None, heavy: bool | None = None,
-           simple: bool | None = None, anywhere: bool | None = None):
+           simple: bool | None = None, anywhere: bool | None = None,
+           velocity_iters: int | None = None,
+           position_iters: int | None = None):
     import dataclasses
 
     cfg = registry_spec(env_id)
     if solver_unroll:
         cfg = dataclasses.replace(cfg, solver_unroll=True)
+    if velocity_iters is not None or position_iters is not None:
+        cfg = dataclasses.replace(
+            cfg,
+            velocity_iters=cfg.velocity_iters if velocity_iters is None
+            else int(velocity_iters),
+            position_iters=cfg.position_iters if position_iters is None
+            else int(position_iters),
+        )
     if simple is not None or anywhere is not None:
         # SIMPLE/ANYWHERE are module constants of the v2 file only
         # (02.py:61-62); the other variants have no such branches.
@@ -135,7 +145,8 @@ def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
          heavy: bool | None = None, goal_velocity: float | None = None,
          block_density: float | None = None,
          hardmode: bool | None = None, simple: bool | None = None,
-         anywhere: bool | None = None) -> VectorEnv:
+         anywhere: bool | None = None, velocity_iters: int | None = None,
+         position_iters: int | None = None) -> VectorEnv:
     """Build a batched env.  ``reset_mode='reference'`` reproduces the
     reference's reset-takes-a-random-step contract exactly (00.py:411).
     ``backend='fused'`` runs the ENTIRE engine tick (narrow phase through
@@ -158,10 +169,20 @@ def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
     places the block uniformly in the middle third with the tighter 0.3
     goal border and random agent headings; ``anywhere=True`` spawns agents
     across the full width instead of the left third (02.py:304-320,
-    349-360)."""
+    349-360).
+
+    ``velocity_iters``/``position_iters`` override the solver iteration
+    counts (default: the reference's ``world.Step(dt, 6*30, 2*30)`` = 180
+    velocity / 60 position iterations, 00.py:428).  The reference config
+    is ~20x Box2D's own default of 8/3; reduced counts trade measured
+    trajectory divergence for throughput -- the ladder (steps/s, parity
+    floor, and does-v2-still-train-to-solved) is published in
+    docs/BENCHMARKS.md.  Parity tests and the headline bench always run
+    the reference's 180/60."""
     del goal_velocity, block_density, hardmode  # quirk #12: dead in the reference too
     block_shape = _normalize_block_shape(block_shape)
     return VectorEnv(_logic(env_id, solver_unroll, block_shape, num_agents,
-                            heavy, simple, anywhere),
+                            heavy, simple, anywhere, velocity_iters,
+                            position_iters),
                      num_envs, auto_reset=auto_reset, reset_mode=reset_mode,
                      batch_axis=batch_axis, backend=backend)
