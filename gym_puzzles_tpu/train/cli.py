@@ -51,6 +51,10 @@ def build_parser():
                    help="linearly anneal --set_reward_params overrides back "
                         "to the variant defaults over the first N updates "
                         "(reward-weight curriculum; dynamic, no recompile)")
+    p.add_argument("--policy", default=None, choices=["mlp", "cnn"],
+                   help="policy architecture: mlp (reference MlpPolicy) or "
+                        "cnn (the v0 image-obs mode, 00.py:161-162,197-200 "
+                        "-- trains on device-rendered stacked frames)")
     p.add_argument("--env_backend", default=None,
                    choices=["xla", "pallas", "fused"],
                    help="engine backend: fused = whole engine tick in one "
@@ -93,6 +97,8 @@ def main(argv=None):
         overrides["n_envs"] = args.n_envs
     if args.env_backend:
         overrides["env_backend"] = args.env_backend
+    if args.policy:
+        overrides["policy"] = args.policy
     if args.update_params_decay is not None:
         overrides["update_params_decay"] = args.update_params_decay
     if args.update_goal:

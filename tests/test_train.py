@@ -88,6 +88,37 @@ def test_restore_policy_across_batch_sizes(tmp_path):
     assert int(restored.timesteps) == int(ts.timesteps)
 
 
+def test_export_slim_policy_checkpoint(tmp_path):
+    """A slim exported checkpoint (train/export.py -- params + normalizer
+    moments + timesteps only, the committable evidence artifact) restores
+    through restore_policy identically to the full TrainState checkpoint."""
+    from gym_puzzles_tpu.train import checkpoint as ckpt
+    from gym_puzzles_tpu.train import export
+
+    algo = PPO(tiny_cfg())
+    ts = algo.init_state()
+    ts, _ = algo.train_step(ts)
+    ckpt.save(tmp_path / "full", ts, step=1)
+    export.export(tmp_path / "full", tmp_path / "slim")
+
+    eval_algo = PPO(tiny_cfg(n_envs=2, n_steps=2, batch_size=4, total_timesteps=4))
+    template = eval_algo.init_state()
+    a = ckpt.restore_policy(tmp_path / "full", template)
+    b = ckpt.restore_policy(tmp_path / "slim", template)
+    for x, y in zip(jax.tree_util.tree_leaves(jax.device_get(a.params)),
+                    jax.tree_util.tree_leaves(jax.device_get(b.params))):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(a.normalizer.obs_rms.mean)),
+        np.asarray(jax.device_get(b.normalizer.obs_rms.mean)),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(a.normalizer.ret_rms.var)),
+        np.asarray(jax.device_get(b.normalizer.ret_rms.var)),
+    )
+    assert int(b.timesteps) == int(ts.timesteps)
+
+
 def test_curriculum_hooks_run_without_recompile():
     """The reference trainer's update_params/update_goal hooks (SURVEY §3.3,
     02.py:227-233) drive RewardParams through TrainState: values change every
