@@ -61,6 +61,13 @@ def build_parser():
                         "VMEM-resident kernel (TPU throughput path), pallas "
                         "= Pallas contact solve only; both need "
                         "n_envs %% 128 == 0")
+    p.add_argument("--velocity_iters", default=None, type=int,
+                   help="solver velocity iterations (default: the "
+                        "reference's 180, 00.py:428; see the iteration "
+                        "ladder in docs/BENCHMARKS.md)")
+    p.add_argument("--position_iters", default=None, type=int,
+                   help="solver position iterations (default: the "
+                        "reference's 60)")
     p.add_argument("--log_interval", default=1, type=int)
     # PPO hparams (parsers.py:78-131)
     for name, typ in [
@@ -99,6 +106,10 @@ def main(argv=None):
         overrides["env_backend"] = args.env_backend
     if args.policy:
         overrides["policy"] = args.policy
+    if args.velocity_iters is not None:
+        overrides["velocity_iters"] = args.velocity_iters
+    if args.position_iters is not None:
+        overrides["position_iters"] = args.position_iters
     if args.update_params_decay is not None:
         overrides["update_params_decay"] = args.update_params_decay
     if args.update_goal:

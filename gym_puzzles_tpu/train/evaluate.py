@@ -138,7 +138,7 @@ def _batched_eval_fns(env_id: str, n_episodes: int, deterministic: bool, net,
     # captured device array in a jitted closure stalls every call on the
     # tunneled runtime (see CLAUDE.md sharp edges).
     def step(net_params, norm_st, params, carry, k):
-        vstate, obs, finished, total = carry
+        vstate, obs, finished, total, length = carry
         if use_obs_norm:
             _, n_obs = nrm.normalize_obs(norm_st, obs, update=False)
         else:
@@ -151,15 +151,17 @@ def _batched_eval_fns(env_id: str, n_episodes: int, deterministic: bool, net,
         act = jnp.clip(act, -1.0, 1.0)
         vstate, obs, reward, done, _ = env._step_fn(vstate, act, params)
         total = total + jnp.where(finished, 0.0, reward)
+        length = length + jnp.where(finished, 0, 1).astype(jnp.int32)
         finished = finished | done
-        return (vstate, obs, finished, total), None
+        return (vstate, obs, finished, total, length), None
 
     @jax.jit
     def start(key, params):
         k_reset, k_act = jax.random.split(key)
         vstate, obs = env.reset(k_reset, params)
         return (vstate, obs, jnp.zeros((n_episodes,), bool),
-                jnp.zeros((n_episodes,), jnp.float32)), k_act
+                jnp.zeros((n_episodes,), jnp.float32),
+                jnp.zeros((n_episodes,), jnp.int32)), k_act
 
     @functools.partial(jax.jit, static_argnums=5)
     def roll(net_params, norm_st, params, carry, key, n):
@@ -188,8 +190,11 @@ def evaluate_policy_batched(algo, train_state, n_episodes: int = 64,
     2000-iteration scan program has crashed the remote worker here, and
     chunking also lets an early finish of every lane skip the tail.
 
-    -> (mean_return, std_return, returns list) over ``n_episodes`` episodes
-    with i.i.d. spawn/goal randomness (per-lane PRNG keys).
+    -> (mean_return, std_return, returns list, lengths list) over
+    ``n_episodes`` episodes with i.i.d. spawn/goal randomness (per-lane
+    PRNG keys).  ``lengths`` = steps until done (== max_steps for
+    timeouts), the diagnostic that separates fast completions from slow
+    ones under the per-step distance penalties.
     """
     env, start, roll = _batched_eval_fns(algo.cfg.env_id, n_episodes,
                                          deterministic, algo.net,
@@ -210,7 +215,9 @@ def evaluate_policy_batched(algo, train_state, n_episodes: int = 64,
         if bool(jax.device_get(carry[2].all())):
             break
     totals = np.asarray(jax.device_get(carry[3]))
-    return float(totals.mean()), float(totals.std()), totals.tolist()
+    lengths = np.asarray(jax.device_get(carry[4]))
+    return (float(totals.mean()), float(totals.std()), totals.tolist(),
+            lengths.tolist())
 
 
 def record_video(algo, train_state, path: str, n_steps: int = 300, seed: int = 0,
@@ -329,8 +336,9 @@ def main(argv=None):
     template = algo.init_state(jax.random.key(args.seed))
     state = ckpt.restore_policy(args.checkpoint, template)
 
+    lengths = None
     if args.batched:
-        mean, std, returns = evaluate_policy_batched(
+        mean, std, returns, lengths = evaluate_policy_batched(
             algo, state, n_episodes=args.n_episodes, seed=args.seed,
             max_steps=args.max_steps, deterministic=not args.stochastic)
     else:
@@ -341,11 +349,13 @@ def main(argv=None):
         eval_backend = "device-image"
     else:
         eval_backend = _flat_eval_backend(args.n_episodes if args.batched else 1)
-    print(json.dumps({"env_id": cfg.env_id, "checkpoint": args.checkpoint,
-                      "trained_timesteps": int(state.timesteps),
-                      "eval_backend": eval_backend, "batched": args.batched,
-                      "mean_return": mean, "std_return": std,
-                      "returns": returns}))
+    row = {"env_id": cfg.env_id, "checkpoint": args.checkpoint,
+           "trained_timesteps": int(state.timesteps),
+           "eval_backend": eval_backend, "batched": args.batched,
+           "mean_return": mean, "std_return": std, "returns": returns}
+    if lengths is not None:
+        row["lengths"] = lengths
+    print(json.dumps(row))
     if args.video:
         record_video(algo, state, args.video, seed=args.seed,
                      mode=args.video_mode)

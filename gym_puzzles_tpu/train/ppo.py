@@ -78,6 +78,12 @@ class PPOConfig:
     # defaults over the first N updates of the run (0 = hold them fixed).
     # Weights ride TrainState as dynamic scalars -- no recompiles.
     reward_anneal_updates: int = 0
+    # Solver iteration counts (None = the reference's 180/60,
+    # multi_robot_puzzle_00.py:428).  Reduced counts trade trajectory
+    # parity for throughput -- see the iteration ladder in
+    # docs/BENCHMARKS.md before changing them.
+    velocity_iters: int | None = None
+    position_iters: int | None = None
 
     @staticmethod
     def from_reference_json(config: dict, **overrides) -> "PPOConfig":
@@ -180,7 +186,9 @@ class PPO:
             else:
                 from gym_puzzles_tpu.api.registry import make
 
-                env = make(cfg.env_id, num_envs=cfg.n_envs, backend=cfg.env_backend)
+                env = make(cfg.env_id, num_envs=cfg.n_envs, backend=cfg.env_backend,
+                           velocity_iters=cfg.velocity_iters,
+                           position_iters=cfg.position_iters)
         self.env = env
         # image envs expose obs_shape (stacked uint8 frames); flat envs don't
         self.obs_shape = getattr(env, "obs_shape", None)

@@ -115,7 +115,7 @@ def run_fast_sweep(base_cfg, trials: int = 16, budget_timesteps: int = 10_000_00
         if eval_episodes:
             from gym_puzzles_tpu.train.evaluate import evaluate_policy_batched
 
-            ev_mean, ev_std, _ = evaluate_policy_batched(
+            ev_mean, ev_std, _, _ = evaluate_policy_batched(
                 algo, ts, n_episodes=eval_episodes, seed=seed + t)
             row["eval_mean"] = ev_mean
             row["eval_std"] = ev_std

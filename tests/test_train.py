@@ -119,6 +119,18 @@ def test_export_slim_policy_checkpoint(tmp_path):
     assert int(b.timesteps) == int(ts.timesteps)
 
 
+def test_reduced_iteration_training_config():
+    """PPOConfig.velocity_iters/position_iters reach the engine (the
+    iteration-ladder training knob, docs/BENCHMARKS.md): the env is built
+    at the reduced counts and a train step runs finite."""
+    algo = PPO(tiny_cfg(velocity_iters=60, position_iters=20))
+    assert algo.env.cfg.velocity_iters == 60
+    assert algo.env.cfg.position_iters == 20
+    ts = algo.init_state()
+    ts, m = algo.train_step(ts)
+    assert np.isfinite(jax.device_get(m)["loss"])
+
+
 def test_curriculum_hooks_run_without_recompile():
     """The reference trainer's update_params/update_goal hooks (SURVEY §3.3,
     02.py:227-233) drive RewardParams through TrainState: values change every
@@ -241,7 +253,7 @@ def test_evaluate_policy_batched():
 
     algo = PPO(tiny_cfg())
     ts = algo.init_state()
-    mean, std, rets = evaluate_policy_batched(algo, ts, n_episodes=4,
+    mean, std, rets, lens = evaluate_policy_batched(algo, ts, n_episodes=4,
                                               max_steps=30, seed=5)
     assert len(rets) == 4
     assert np.isfinite(mean) and np.isfinite(std)
@@ -335,9 +347,9 @@ def test_evaluate_batched_chunk_invariant():
 
     algo = PPO(tiny_cfg())
     ts = algo.init_state()
-    m1, _, r1 = evaluate_policy_batched(algo, ts, n_episodes=4, max_steps=70,
+    m1, _, r1, _ = evaluate_policy_batched(algo, ts, n_episodes=4, max_steps=70,
                                         seed=9, chunk=30)
-    m2, _, r2 = evaluate_policy_batched(algo, ts, n_episodes=4, max_steps=70,
+    m2, _, r2, _ = evaluate_policy_batched(algo, ts, n_episodes=4, max_steps=70,
                                         seed=9, chunk=200)
     np.testing.assert_allclose(r1, r2, rtol=0, atol=0)
 
@@ -391,7 +403,7 @@ def test_cnn_eval_roundtrip(tmp_path):
     eval_algo = PPO(cfg, env=eval_env)
     restored = ckpt.restore_policy(tmp_path / "ck", eval_algo.init_state())
 
-    mean, std, returns = evaluate_policy_batched(
+    mean, std, returns, _l = evaluate_policy_batched(
         eval_algo, restored, n_episodes=2, max_steps=10, seed=5, chunk=5)
     assert len(returns) == 2 and np.isfinite(mean) and np.isfinite(std)
 
