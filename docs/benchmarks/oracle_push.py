@@ -30,12 +30,16 @@ controller family, and bounds what any trained policy can earn:
 from __future__ import annotations
 
 import json
+import os
 import sys
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__)))))
 
 
 from gym_puzzles_tpu.train.scripted import pusher_action as oracle_action  # noqa: E402
@@ -91,7 +95,7 @@ def main():
 
     enable_compilation_cache()
     env_id = sys.argv[1] if len(sys.argv) > 1 else "MultiRobotPuzzleHeavy-v0"
-    for offset in (40.0, 70.0, 100.0, 130.0):
+    for offset in (110.0, 140.0, 170.0):
         print(json.dumps(run(env_id, offset)), flush=True)
 
 
