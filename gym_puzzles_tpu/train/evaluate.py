@@ -56,10 +56,14 @@ def _make_eval_env(env_id: str, n: int, image_cfg=None):
         from gym_puzzles_tpu.api.image_obs import DeviceImageVectorEnv
 
         depth, fs, ds, mode, bs = image_cfg
+        # image evals ride the fused kernel on lane-aligned TPU batches for
+        # the same reason flat ones do -- and the 128-lane image env on the
+        # XLA path has crashed the tunneled TPU worker outright (r4).
+        backend = _flat_eval_backend(n)
         return DeviceImageVectorEnv(env_id, num_envs=n, obs_depth=depth,
                                     frameskip=fs, downsample=ds, mode=mode,
                                     block_shape=bs, auto_reset=False,
-                                    reset_mode="reference")
+                                    reset_mode="reference", backend=backend)
     from gym_puzzles_tpu.api.registry import make
 
     backend = _flat_eval_backend(n)
