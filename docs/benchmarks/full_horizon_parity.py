@@ -75,18 +75,50 @@ def drive(env_id, spawn_seed, n_steps):
     step = jax.jit(logic.step)
 
     rng = np.random.RandomState(spawn_seed + 17)
+    actions = rng.uniform(-1, 1, (n_steps, logic.cfg.act_dim))
+    t0 = time.time()
+
+    # Rebuild side: ONE chunked on-device scan over 128 identical lanes
+    # through the production fused kernel (per-step host dispatch on the
+    # tunneled runtime costs ~0.5 s/call -- a 2000-step drive took ~17 min
+    # that way; the scanned fused roll takes seconds and its kernels are
+    # already in the persistent cache from the eval runs).
+    E = 128
+    state_b = jax.tree_util.tree_map(
+        lambda x: jnp.broadcast_to(x[..., None], x.shape + (E,)), state)
+    acts = jnp.broadcast_to(
+        jnp.asarray(actions, jnp.float32)[..., None], actions.shape + (E,))
+    use_fused = jax.default_backend() in ("tpu", "axon")
+    step_b = logic.step_fused if use_fused else logic.step_batched
+
+    @jax.jit
+    def roll_chunk(st, a_chunk):
+        def f(st, a):
+            st, obs, r, d, _ = step_b(st, a, params)
+            return st, (obs[:, 0], r[0], d[0])
+
+        return jax.lax.scan(f, st, a_chunk)
+
+    obs_m_all, rew_m_all, done_m_all = [], [], []
+    chunk = 200
+    for c0 in range(0, n_steps, chunk):
+        state_b, (o, r, d) = roll_chunk(state_b, acts[c0 : c0 + chunk])
+        obs_m_all.append(np.asarray(jax.device_get(o), np.float64))
+        rew_m_all.append(np.asarray(jax.device_get(r), np.float64))
+        done_m_all.append(np.asarray(jax.device_get(d)))
+    obs_m_all = np.concatenate(obs_m_all)
+    rew_m_all = np.concatenate(rew_m_all)
+    done_m_all = np.concatenate(done_m_all)
+
+    # Reference side: host loop (interactive-script speed, cheap on CPU)
     obs_div, flips = [], 0
     ret_r = ret_m = 0.0
     done_r = done_m = None
-    t0 = time.time()
     for t in range(n_steps):
-        a = rng.uniform(-1, 1, logic.cfg.act_dim)
-        o_r, r_r, d_r, _ = ref.step(a.astype(np.float64))
-        state, o_m, r_m, d_m, _ = step(state, jnp.asarray(a, jnp.float32),
-                                       params)
+        o_r, r_r, d_r, _ = ref.step(actions[t].astype(np.float64))
+        o_m64 = obs_m_all[t]
         ret_r += float(r_r)
-        ret_m += float(r_m)
-        o_m64 = np.asarray(o_m, np.float64)
+        ret_m += float(rew_m_all[t])
         o_r64 = np.asarray(o_r, np.float64)
         d = np.abs(o_m64 - o_r64)
         d = np.minimum(d, np.abs(d - 2.0 * np.pi))  # angle-wrap fold
@@ -94,8 +126,8 @@ def drive(env_id, spawn_seed, n_steps):
                    & (d == 1.0))
         flips += int(is_flag.sum())
         obs_div.append(float(np.where(is_flag, 0.0, d).max()))
-        if d_r or bool(d_m):
-            done_r, done_m = bool(d_r), bool(d_m)
+        if d_r or bool(done_m_all[t]):
+            done_r, done_m = bool(d_r), bool(done_m_all[t])
             break
     obs_div = np.asarray(obs_div)
     row = {
