@@ -10,6 +10,7 @@ renders an episode with the host rasterizer and writes an .npz frame stack
 from __future__ import annotations
 
 import functools
+import sys
 
 import numpy as np
 
@@ -67,7 +68,8 @@ def _make_eval_env(env_id: str, n: int, image_cfg=None):
     from gym_puzzles_tpu.api.registry import make
 
     backend = _flat_eval_backend(n)
-    print(f"# eval env: {env_id} n={n} backend={backend}")
+    # stderr, so `evaluate ... > out.json` stays machine-parseable JSON
+    print(f"# eval env: {env_id} n={n} backend={backend}", file=sys.stderr)
     return make(env_id, num_envs=n, auto_reset=False,
                 reset_mode="reference", backend=backend)
 
@@ -353,9 +355,18 @@ def main(argv=None):
         eval_backend = "device-image"
     else:
         eval_backend = _flat_eval_backend(args.n_episodes if args.batched else 1)
+    # eval envs never inherit reduced training iters (_make_eval_env passes
+    # no overrides) -- record the reference-physics counts for the artifact
+    from gym_puzzles_tpu.envs.config import VARIANTS
+
+    ecfg = VARIANTS[cfg.env_id]
     row = {"env_id": cfg.env_id, "checkpoint": args.checkpoint,
            "trained_timesteps": int(state.timesteps),
            "eval_backend": eval_backend, "batched": args.batched,
+           "eval_solver_iters": [int(ecfg.velocity_iters),
+                                 int(ecfg.position_iters)],
+           "train_solver_iters": [int(cfg.velocity_iters or ecfg.velocity_iters),
+                                  int(cfg.position_iters or ecfg.position_iters)],
            "mean_return": mean, "std_return": std, "returns": returns}
     if lengths is not None:
         row["lengths"] = lengths

@@ -63,7 +63,7 @@ def bc_train(cfg, rounds: int = 60, bc_lr: float = 1e-3, offset_px: float = 70.0
         vstate, nobs, reward, done, _ = env._step_fn(vstate, act, algo.env_params)
         norm, obs_n = nrm.normalize_obs(norm, obs, update=True)
         norm, rew_n = nrm.normalize_reward(norm, reward, done, update=True)
-        return (vstate, nobs, norm, key), (obs_n, act, rew_n)
+        return (vstate, nobs, norm, key), (obs_n, act, rew_n, done)
 
     def loss_fn(params, obs_n, act, ret_n):
         mean, log_std, value = net.apply(params, obs_n)
@@ -78,14 +78,17 @@ def bc_train(cfg, rounds: int = 60, bc_lr: float = 1e-3, offset_px: float = 70.0
     def bc_round(ts, bc_opt, key):
         key, k_roll, k_perm = jax.random.split(key, 3)
         carry = (ts.vstate, ts.last_obs, ts.normalizer, k_roll)
-        (vstate, last_obs, norm, _), (obs_n, act, rew_n) = jax.lax.scan(
+        (vstate, last_obs, norm, _), (obs_n, act, rew_n, done) = jax.lax.scan(
             rollout, carry, None, length=n_steps)
         # normalized-return proxy for the value head: per-step normalized
-        # reward discounted forward (cheap reverse scan)
-        def disc(c, r):
-            c = r + cfg.gamma * c
+        # reward discounted forward (cheap reverse scan); episode
+        # boundaries mask the accumulator so returns do not bleed across
+        # auto-resets within the window
+        def disc(c, rd):
+            r, d = rd
+            c = r + cfg.gamma * c * (1.0 - d.astype(r.dtype))
             return c, c
-        _, ret_n = jax.lax.scan(disc, jnp.zeros_like(rew_n[0]), rew_n,
+        _, ret_n = jax.lax.scan(disc, jnp.zeros_like(rew_n[0]), (rew_n, done),
                                 reverse=True)
         flat_obs = obs_n.reshape(total, -1)
         flat_act = act.reshape(total, -1)

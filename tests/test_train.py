@@ -158,6 +158,7 @@ def test_imitation_bootstrap(tmp_path):
     # not exact after 2 tiny rounds -- just directionally correlated
     c = np.corrcoef(np.asarray(mean).ravel(), np.asarray(demo).ravel())[0, 1]
     assert np.isfinite(c)
+    assert c > 0.1, f"BC policy should correlate with demonstrator, got {c}"
 
 
 def test_curriculum_hooks_run_without_recompile():
@@ -323,8 +324,8 @@ def test_fused_vs_xla_eval_agreement(env_id):
             ev._flat_eval_backend = orig
             ev._batched_eval_fns.cache_clear()
 
-    mean_f, std_f, rets_f = run(force_xla=False)
-    mean_x, std_x, rets_x = run(force_xla=True)
+    mean_f, std_f, rets_f, _lens_f = run(force_xla=False)
+    mean_x, std_x, rets_x, _lens_x = run(force_xla=True)
     assert len(rets_f) == len(rets_x) == 128
     assert np.isfinite(mean_f) and np.isfinite(mean_x)
     sem = max(std_x, std_f) / np.sqrt(128.0)
