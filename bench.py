@@ -5,7 +5,16 @@ velocity / 60 position iterations -- multi_robot_puzzle_00.py:428).
 
 Prints ONE JSON line:
     {"metric": "env_steps_per_s_per_chip", "value": N, "unit": "steps/s",
-     "vs_baseline": N / 1e6}
+     "vs_baseline": N / 1e6, "repeats": R, "spread_pct": S,
+     "floor": 4.2e6, "regression": bool}
+
+``value`` is the median of R independent repeats (each repeat = best of
+``iters`` timed chunks, the best-of discipline from rounds 1-4);
+``spread_pct`` is (max-min)/median over the repeats, so round-over-round
+drift can be classified against measured noise instead of eyeballed
+(VERDICT r4 weak #4: the r3->r4 -1.1% drift was unclassifiable from a
+single best-of run).  ``regression`` flags value < 4.2M, the asserted
+floor under the recorded r1-r4 history (4.38-4.43M).
 
 Baseline: the driver-defined north star of 1M env-steps/s/chip
 (BASELINE.md; the reference itself publishes no numbers -- its DummyVecEnv
@@ -59,23 +68,35 @@ def main(num_envs: int = 4096, chunk: int = 200, iters: int = 5,
     compile_s = time.time() - t0
     print(f"# compile+first chunk: {compile_s:.1f}s", file=sys.stderr)
 
-    best = 0.0
-    for _ in range(iters):
-        t0 = time.time()
-        vstate, rsum, dsum = rollout_chunk(vstate, actions)
-        float(rsum)  # force completion; block_until_ready alone can return
-        # before remote execution finishes on the tunneled TPU runtime
-        dt = time.time() - t0
-        rate = chunk * num_envs / dt
-        best = max(best, rate)
-        print(f"# chunk {chunk}x{num_envs} in {dt*1e3:.1f}ms -> {rate:,.0f} steps/s",
-              file=sys.stderr)
+    repeats = []
+    for rep in range(3):
+        best = 0.0
+        for _ in range(iters):
+            t0 = time.time()
+            vstate, rsum, dsum = rollout_chunk(vstate, actions)
+            float(rsum)  # force completion; block_until_ready alone can
+            # return before remote execution finishes on this runtime
+            dt = time.time() - t0
+            rate = chunk * num_envs / dt
+            best = max(best, rate)
+            print(f"# chunk {chunk}x{num_envs} in {dt*1e3:.1f}ms -> "
+                  f"{rate:,.0f} steps/s", file=sys.stderr)
+        repeats.append(best)
+        print(f"# repeat {rep}: best {best:,.0f} steps/s", file=sys.stderr)
 
+    repeats.sort()
+    median = repeats[len(repeats) // 2]
+    spread_pct = 100.0 * (repeats[-1] - repeats[0]) / median
+    floor = 4.2e6
     print(json.dumps({
         "metric": "env_steps_per_s_per_chip",
-        "value": round(best, 1),
+        "value": round(median, 1),
         "unit": "steps/s",
-        "vs_baseline": round(best / 1e6, 4),
+        "vs_baseline": round(median / 1e6, 4),
+        "repeats": len(repeats),
+        "spread_pct": round(spread_pct, 2),
+        "floor": floor,
+        "regression": median < floor,
     }))
 
 

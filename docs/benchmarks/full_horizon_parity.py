@@ -45,11 +45,16 @@ WINDOWS = (100, 400, 1000, 2000, 3000)
 
 
 def drive(env_id, spawn_seed, n_steps):
+    import contextlib
+
     import tests.reference_oracle as oracle
     from gym_puzzles_tpu.api.registry import _logic
 
     np.random.seed(spawn_seed)  # the reference's global-np.random spawns
-    ref = oracle.make_reference(env_id)
+    with contextlib.redirect_stdout(sys.stderr):
+        # the reference prints "initialize..." from __init__ (00.py:195);
+        # keep stdout pure JSONL (VERDICT r4 weak #2)
+        ref = oracle.make_reference(env_id)
     is_v2 = env_id.endswith("v2")
     if is_v2:
         ref.update_params(0, 0.997)  # quirk #7
@@ -116,6 +121,12 @@ def drive(env_id, spawn_seed, n_steps):
     done_r = done_m = None
     for t in range(n_steps):
         o_r, r_r, d_r, _ = ref.step(actions[t].astype(np.float64))
+        # TimeLimit-wrap the raw shim-driven reference at the registered
+        # max_episode_steps (gym_puzzles/__init__.py:6,13,20,27,34): the
+        # rebuild carries the wrapper in-env (envs/base.py), the bare
+        # reference env does not, so without this the final row always
+        # read terminated_ours=true vs ref=false (VERDICT r4 weak #2)
+        d_r = bool(d_r) or (t == n_steps - 1)
         o_m64 = obs_m_all[t]
         ret_r += float(r_r)
         ret_m += float(rew_m_all[t])

@@ -42,10 +42,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__)))))
 
 
-from gym_puzzles_tpu.train.scripted import pusher_action as oracle_action  # noqa: E402
+from gym_puzzles_tpu.train.scripted import planner_action, pusher_action  # noqa: E402
 
 
-def run(env_id, offset_px, n=128, seed=0):
+def run(env_id, offset_px, n=128, seed=0, controller="pusher", gate=None):
     from gym_puzzles_tpu.api.registry import make
 
     backend = "fused" if jax.default_backend() == "tpu" else "xla"
@@ -57,7 +57,10 @@ def run(env_id, offset_px, n=128, seed=0):
 
     def step(carry, _):
         vstate, obs, finished, total, length = carry
-        act = oracle_action(obs, A, offset_px)
+        if controller == "planner":
+            act = planner_action(obs, A, gate=gate)
+        else:
+            act = pusher_action(obs, A, offset_px)
         vstate, obs, reward, done, _ = env._step_fn(vstate, act, params)
         total = total + jnp.where(finished, 0.0, reward)
         length = length + jnp.where(finished, 0, 1).astype(jnp.int32)
@@ -76,7 +79,9 @@ def run(env_id, offset_px, n=128, seed=0):
     done = lengths < max_steps
     row = {
         "env_id": env_id,
+        "controller": controller,
         "offset_px": offset_px,
+        "gate": gate,
         "n": n,
         "completed": int(done.sum()),
         "mean_return": float(totals.mean()),
@@ -95,8 +100,14 @@ def main():
 
     enable_compilation_cache()
     env_id = sys.argv[1] if len(sys.argv) > 1 else "MultiRobotPuzzleHeavy-v0"
-    for offset in (110.0, 140.0, 170.0):
-        print(json.dumps(run(env_id, offset)), flush=True)
+    controller = sys.argv[2] if len(sys.argv) > 2 else "pusher"
+    if controller == "planner":
+        for gate in (None,):
+            print(json.dumps(run(env_id, 0.0, controller="planner",
+                                 gate=gate)), flush=True)
+    else:
+        for offset in (110.0, 140.0, 170.0):
+            print(json.dumps(run(env_id, offset)), flush=True)
 
 
 if __name__ == "__main__":

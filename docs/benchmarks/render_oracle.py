@@ -32,12 +32,13 @@ def main(argv=None):
     p.add_argument("--every", default=6, type=int,
                    help="rasterize every Nth step")
     p.add_argument("--offset_px", default=70.0, type=float)
+    p.add_argument("--controller", default="pusher", choices=["pusher", "planner"])
     p.add_argument("--out", default="/tmp/oracle.gif")
     args = p.parse_args(argv)
 
     from gym_puzzles_tpu.api.registry import make
     from gym_puzzles_tpu.render import render_state
-    from gym_puzzles_tpu.train.scripted import pusher_action
+    from gym_puzzles_tpu.train.scripted import planner_action, pusher_action
     from gym_puzzles_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
@@ -49,7 +50,10 @@ def main(argv=None):
     step = jax.jit(env._step_fn)
     frames = []
     for t in range(args.steps):
-        act = pusher_action(obs, A, args.offset_px)
+        if args.controller == "planner":
+            act = planner_action(obs, A)
+        else:
+            act = pusher_action(obs, A, args.offset_px)
         vstate, obs, _r, d, _ = step(vstate, act, params)
         if t % args.every == 0:
             one = jax.tree_util.tree_map(

@@ -57,12 +57,15 @@ def _logic(env_id: str, solver_unroll: bool = False, block_shape: str = "t",
            num_agents: int | None = None, heavy: bool | None = None,
            simple: bool | None = None, anywhere: bool | None = None,
            velocity_iters: int | None = None,
-           position_iters: int | None = None):
+           position_iters: int | None = None,
+           max_episode_steps: int | None = None):
     import dataclasses
 
     cfg = registry_spec(env_id)
     if solver_unroll:
         cfg = dataclasses.replace(cfg, solver_unroll=True)
+    if max_episode_steps is not None:
+        cfg = dataclasses.replace(cfg, max_episode_steps=int(max_episode_steps))
     if velocity_iters is not None or position_iters is not None:
         cfg = dataclasses.replace(
             cfg,
@@ -146,7 +149,8 @@ def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
          block_density: float | None = None,
          hardmode: bool | None = None, simple: bool | None = None,
          anywhere: bool | None = None, velocity_iters: int | None = None,
-         position_iters: int | None = None) -> VectorEnv:
+         position_iters: int | None = None,
+         max_episode_steps: int | None = None) -> VectorEnv:
     """Build a batched env.  ``reset_mode='reference'`` reproduces the
     reference's reset-takes-a-random-step contract exactly (00.py:411).
     ``backend='fused'`` runs the ENTIRE engine tick (narrow phase through
@@ -171,6 +175,11 @@ def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
     across the full width instead of the left third (02.py:304-320,
     349-360).
 
+    ``max_episode_steps`` overrides the registered episode limit
+    (gym_puzzles/__init__.py:6,13,20,27,34) -- a shortened training
+    horizon is a speed curriculum (only fast completions earn the
+    completion reward); honest evals always use the registered limit.
+
     ``velocity_iters``/``position_iters`` override the solver iteration
     counts (default: the reference's ``world.Step(dt, 6*30, 2*30)`` = 180
     velocity / 60 position iterations, 00.py:428).  The reference config
@@ -183,6 +192,6 @@ def make(env_id: str, num_envs: int = 1, auto_reset: bool = True,
     block_shape = _normalize_block_shape(block_shape)
     return VectorEnv(_logic(env_id, solver_unroll, block_shape, num_agents,
                             heavy, simple, anywhere, velocity_iters,
-                            position_iters),
+                            position_iters, max_episode_steps),
                      num_envs, auto_reset=auto_reset, reset_mode=reset_mode,
                      batch_axis=batch_axis, backend=backend)

