@@ -26,6 +26,16 @@ TOTAL_RADIUS = 2.0 * POLYGON_RADIUS
 CLIP_TOL = 0.1 * LINEAR_SLOP
 F32 = jnp.float32
 
+# b2Vec2::Normalize multiplies by a reciprocal (invLength = 1/len;
+# x *= invLength) where a straight division rounds differently in f32.
+# The flag selects the Box2D operation order for the reference-edge
+# tangent -- the one continuous-path rounding difference in this file vs
+# b2CollidePolygons (measured A/B: docs/PARITY.md, round 5).  Env var so
+# the A/B harness can flip it without a code edit.
+import os as _os
+
+B2_RECIP_NORMALIZE = _os.environ.get("GPT_B2_CLIP_ORDER", "0") == "1"
+
 # b2ContactFeature types
 _VERTEX = 0
 _FACE = 1
@@ -203,7 +213,10 @@ def collide_polygons(
     v11 = _take(verts1, iv1)
     v12 = _take(verts1, iv2)
     local_tangent = v12 - v11
-    local_tangent = local_tangent / jnp.linalg.norm(local_tangent)
+    if B2_RECIP_NORMALIZE:
+        local_tangent = local_tangent * (1.0 / jnp.linalg.norm(local_tangent))
+    else:
+        local_tangent = local_tangent / jnp.linalg.norm(local_tangent)
     local_normal = jnp.stack([local_tangent[1], -local_tangent[0]])  # cross(t, 1)
     plane_point = 0.5 * (v11 + v12)
 

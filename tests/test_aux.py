@@ -107,3 +107,49 @@ def test_heartbeat_single_host():
     hb.ping()
     hb.ping()
     hb.close()
+
+
+def test_planner_action_contract():
+    """train/scripted.py::planner_action: action bounds, finiteness, and the
+    behavioral contract on a constructed Heavy-v0 obs -- agents slotted
+    behind the block with the gate open must push toward the goal; agents
+    far away must not."""
+    from gym_puzzles_tpu.train.scripted import planner_action
+
+    A = 5
+    goal = np.array([320.0, 262.5])
+    bc = goal + np.array([150.0, 0.0])  # block 150 px right of goal
+    # heavy T outline (local, m) at angle 0, scaled to px around bc
+    local = np.array([[-1, -2], [1, -2], [1, 0], [-1, 0],
+                      [-3, 0], [3, 0], [3, 2], [-3, 2]], float)
+    verts = bc[None] + local * 30.0 - np.array([0.0, 15.0])[None]
+    # push direction u = (-1, 0): slots sit on the +x side of the block.
+    # all five agents already slotted behind (right of) the block
+    rel = np.stack([np.array([114.0, off]) for off in
+                    (-92.0, -46.0, 0.0, 46.0, 92.0)])
+    obs = np.zeros((1, 40), np.float32)
+    for i in range(A):
+        obs[0, 4 * i: 4 * i + 2] = rel[i]
+        obs[0, 4 * i + 2] = np.linalg.norm(rel[i])
+    obs[0, 20:22] = bc - goal
+    obs[0, 23] = np.linalg.norm(bc - goal)
+    obs[0, 24:40] = verts.reshape(-1)
+    act = np.asarray(planner_action(jnp.asarray(obs), A)).reshape(A, 3)
+    assert np.isfinite(act).all() and (np.abs(act) <= 1.0).all()
+    # gate open (all arrived): every agent drives toward the goal (-x)
+    assert (act[:, 0] < -0.9).all(), act
+
+    # a scattered formation must NOT push: far agents head for the block
+    # side, and nobody is at full -x drive through the block
+    rel2 = np.stack([np.array([-400.0, 300.0]), np.array([300.0, 300.0]),
+                     np.array([-350.0, -250.0]), np.array([400.0, -100.0]),
+                     np.array([350.0, 200.0])])
+    obs2 = obs.copy()
+    for i in range(A):
+        obs2[0, 4 * i: 4 * i + 2] = rel2[i]
+        obs2[0, 4 * i + 2] = np.linalg.norm(rel2[i])
+    act2 = np.asarray(planner_action(jnp.asarray(obs2), A)).reshape(A, 3)
+    assert np.isfinite(act2).all() and (np.abs(act2) <= 1.0).all()
+    # agents left of the block (goal side, far) should move right (+x)
+    # toward the block/slots rather than away
+    assert act2[0, 0] > 0.0 and act2[2, 0] > 0.0, act2
