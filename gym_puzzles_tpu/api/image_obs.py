@@ -102,12 +102,14 @@ class DeviceImageVectorEnv:
                  obs_depth: int = 3, frameskip: int = 4, downsample: int = 4,
                  backend: str = "xla", mode: str = "human_vision",
                  block_shape: str = "t", auto_reset: bool = True,
-                 reset_mode: str = "fast"):
+                 reset_mode: str = "fast", velocity_iters: int | None = None,
+                 position_iters: int | None = None):
         from gym_puzzles_tpu.api.registry import _image_logic
         from gym_puzzles_tpu.api.vector import VectorEnv
         from gym_puzzles_tpu.render.device import make_device_renderer
 
-        logic = _image_logic(env_id, frameskip, block_shape)
+        logic = _image_logic(env_id, frameskip, block_shape,
+                             velocity_iters, position_iters)
         self._env = VectorEnv(logic, num_envs, backend=backend,
                               auto_reset=auto_reset, reset_mode=reset_mode)
         self.logic = logic

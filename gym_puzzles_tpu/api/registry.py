@@ -130,12 +130,15 @@ def _logic(env_id: str, solver_unroll: bool = False, block_shape: str = "t",
 
 
 @functools.lru_cache(maxsize=None)
-def _image_logic(env_id: str, frameskip: int = 4, block_shape: str = "t"):
+def _image_logic(env_id: str, frameskip: int = 4, block_shape: str = "t",
+                 velocity_iters: int | None = None,
+                 position_iters: int | None = None):
     """Env logic at the reference's image-mode physics config (frameskip 4,
     00.py:161-162) for the pixel-observation pipelines."""
     import dataclasses
 
-    base = _logic(env_id, False, block_shape)
+    base = _logic(env_id, False, block_shape, None, None, None, None,
+                  velocity_iters, position_iters)
     if frameskip == base.cfg.frameskip:
         return base
     return type(base)(dataclasses.replace(base.cfg, frameskip=frameskip))

@@ -188,7 +188,9 @@ class PPO:
                 from gym_puzzles_tpu.api.image_obs import DeviceImageVectorEnv
 
                 env = DeviceImageVectorEnv(cfg.env_id, num_envs=cfg.n_envs,
-                                           backend=cfg.env_backend)
+                                           backend=cfg.env_backend,
+                                           velocity_iters=cfg.velocity_iters,
+                                           position_iters=cfg.position_iters)
             else:
                 from gym_puzzles_tpu.api.registry import make
 
