@@ -16,6 +16,17 @@ import jax
 import orbax.checkpoint as ocp
 
 
+def step_count(timesteps) -> int:
+    """The TrainState timesteps counter is a device int32 and wraps
+    negative past 2^31 env steps (first hit by a 2.4B-step Heavy-v0
+    campaign: the checkpoint saved under step -1895825408).  Reinterpret
+    as uint32 at every host boundary -- checkpoint labels, logs, eval
+    metadata -- which keeps labels positive and counts exact to 2^32."""
+    import numpy as np
+
+    return int(np.asarray(timesteps).astype(np.int64) & 0xFFFFFFFF)
+
+
 def save(path, train_state, step: int):
     path = pathlib.Path(path).absolute()
     with ocp.CheckpointManager(path) as mgr:

@@ -196,22 +196,24 @@ def main(argv=None):
             normalizer=state.normalizer.replace(
                 gamma=jnp.asarray(cfg.gamma, jnp.float32)),
         )
-        print(f"resumed from {args.resume} at {int(state.timesteps)} steps")
+        print(f"resumed from {args.resume} at {ckpt.step_count(state.timesteps)} steps")
     elif args.resume_policy:
         from gym_puzzles_tpu.train import checkpoint as ckpt
 
         state = ckpt.restore_policy(args.resume_policy, state)
         print(f"warm-started policy from {args.resume_policy} "
-              f"at {int(state.timesteps)} steps")
+              f"at {ckpt.step_count(state.timesteps)} steps")
 
     t_start = time.time()
-    last = {"t": t_start, "steps": int(state.timesteps)}
+    from gym_puzzles_tpu.train.checkpoint import step_count
+
+    last = {"t": t_start, "steps": step_count(state.timesteps)}
 
     def log_fn(update, metrics):
         if update % args.log_interval:
             return
         now = time.time()
-        steps = int(metrics["timesteps"])
+        steps = step_count(metrics["timesteps"])
         sps = (steps - last["steps"]) / max(now - last["t"], 1e-9)
         last.update(t=now, steps=steps)
         line = {
@@ -237,7 +239,7 @@ def main(argv=None):
         from gym_puzzles_tpu.train import checkpoint as ckpt
 
         path = f"{args.checkpoint_dir}/{cfg.env_id}"
-        ckpt.save(path, final, int(final.timesteps))
+        ckpt.save(path, final, ckpt.step_count(final.timesteps))
         print(f"saved checkpoint to {path}")
     return final
 

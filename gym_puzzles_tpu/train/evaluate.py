@@ -361,7 +361,7 @@ def main(argv=None):
 
     ecfg = VARIANTS[cfg.env_id]
     row = {"env_id": cfg.env_id, "checkpoint": args.checkpoint,
-           "trained_timesteps": int(state.timesteps),
+           "trained_timesteps": ckpt.step_count(state.timesteps),
            "eval_backend": eval_backend, "batched": args.batched,
            "eval_solver_iters": [int(ecfg.velocity_iters),
                                  int(ecfg.position_iters)],

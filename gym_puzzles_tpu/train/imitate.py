@@ -162,8 +162,8 @@ def main(argv=None):
     algo, ts = bc_train(cfg, rounds=args.rounds, bc_lr=args.bc_lr,
                         offset_px=args.offset_px)
     path = f"{args.out}/{cfg.env_id}"
-    ckpt.save(path, ts, int(ts.timesteps))
-    print(f"saved BC checkpoint to {path} ({int(ts.timesteps)} demo steps)")
+    ckpt.save(path, ts, ckpt.step_count(ts.timesteps))
+    print(f"saved BC checkpoint to {path} ({ckpt.step_count(ts.timesteps)} demo steps)")
 
 
 if __name__ == "__main__":

@@ -496,3 +496,25 @@ def test_target_kl_fully_dynamic():
     ts2 = algo2.set_hparams(ts2, target_kl=0.0, learning_rate=0.1)
     ts2, m2 = algo2.train_step(ts2)
     assert not bool(jax.device_get(m2)["kl_stopped"])
+
+
+def test_timesteps_step_count_uint32_boundary(tmp_path):
+    """The device timesteps counter is int32 and wraps past 2^31 env steps
+    (hit live by a 2.4B-step campaign: the checkpoint saved under step
+    -1895825408 and restore_policy choked).  step_count must reinterpret
+    the wrapped counter as uint32 at every host boundary."""
+    import jax.numpy as jnp
+
+    from gym_puzzles_tpu.train import checkpoint as ckpt
+
+    assert ckpt.step_count(np.int32(100)) == 100
+    assert ckpt.step_count(jnp.asarray(2**31 - 1, jnp.int32)) == 2**31 - 1
+    wrapped = np.int32(np.uint32(2_399_141_888))  # the live campaign value
+    assert ckpt.step_count(wrapped) == 2_399_141_888
+    # a wrapped counter still yields a positive, restorable checkpoint
+    algo = PPO(tiny_cfg())
+    ts = algo.init_state().replace(timesteps=jnp.asarray(wrapped, jnp.int32))
+    ckpt.save(tmp_path / "w", ts, ckpt.step_count(ts.timesteps))
+    assert ckpt.latest_step(tmp_path / "w") == 2_399_141_888
+    restored = ckpt.restore(tmp_path / "w", algo.init_state())
+    assert ckpt.step_count(restored.timesteps) == 2_399_141_888
