@@ -12,7 +12,14 @@ class Box:
         self.high = high
         self.shape = low.shape
         self.dtype = dtype
-        self._rng = np.random.RandomState()
+        # derive from the global np.random stream rather than OS entropy:
+        # the reference's reset takes one action_space.sample() step
+        # (00.py:411), so an entropy-seeded space made every parity-drive
+        # spawn state process-unique (discovered round 5 -- three runs of
+        # the same spawn seed produced three different ret_ref).  Harnesses
+        # seed np.random (the reference's own spawn contract), which now
+        # pins the sample step too.
+        self._rng = np.random.RandomState(np.random.randint(2 ** 31))
 
     def seed(self, seed=None):
         self._rng = np.random.RandomState(seed)
