@@ -365,8 +365,6 @@ def main(argv=None):
            "eval_backend": eval_backend, "batched": args.batched,
            "eval_solver_iters": [int(ecfg.velocity_iters),
                                  int(ecfg.position_iters)],
-           "train_solver_iters": [int(cfg.velocity_iters or ecfg.velocity_iters),
-                                  int(cfg.position_iters or ecfg.position_iters)],
            "mean_return": mean, "std_return": std, "returns": returns}
     if lengths is not None:
         row["lengths"] = lengths
