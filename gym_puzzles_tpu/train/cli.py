@@ -31,6 +31,10 @@ def build_parser():
                         "override the JSON config and CLI flags")
     p.add_argument("--save_model", action="store_true")
     p.add_argument("--checkpoint_dir", default="models", type=str)
+    p.add_argument("--checkpoint_every", default=0, type=int,
+                   help="ALSO checkpoint every N updates (0 = end only): "
+                        "tunneled-TPU runs can stall mid-flight; periodic "
+                        "saves bound what a restart loses")
     p.add_argument("--resume", default=None, type=str, help="checkpoint dir to resume")
     p.add_argument("--resume_policy", default=None, type=str,
                    help="warm-start from a slim policy export "
@@ -233,12 +237,22 @@ def main(argv=None):
             logger.log({"rollout/ep_rew_mean": line["ep_rew_mean"],
                         "time/steps_per_s": sps, **{f"train/{k}": v for k, v in line.items()}})
 
-    final = algo.learn(args.total_timesteps, log_fn=log_fn, state=state)
-
+    checkpoint_fn = None
     if args.save_model:
         from gym_puzzles_tpu.train import checkpoint as ckpt
 
         path = f"{args.checkpoint_dir}/{cfg.env_id}"
+
+        def checkpoint_fn(update, ts):
+            ckpt.save(path, ts, ckpt.step_count(ts.timesteps))
+            print(f"periodic checkpoint at update {update} -> {path}",
+                  flush=True)
+
+    final = algo.learn(args.total_timesteps, log_fn=log_fn, state=state,
+                       checkpoint_fn=checkpoint_fn,
+                       checkpoint_every=args.checkpoint_every)
+
+    if args.save_model:
         ckpt.save(path, final, ckpt.step_count(final.timesteps))
         print(f"saved checkpoint to {path}")
     return final

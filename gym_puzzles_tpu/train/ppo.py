@@ -552,7 +552,13 @@ class PPO:
             )
         return ts
 
-    def learn(self, total_timesteps=None, log_fn=None, state=None):
+    def learn(self, total_timesteps=None, log_fn=None, state=None,
+              checkpoint_fn=None, checkpoint_every: int = 0):
+        """``checkpoint_fn(update, ts)`` fires every ``checkpoint_every``
+        updates (0 = only the caller's final save) -- long runs on the
+        tunneled TPU runtime can stall mid-flight (observed: an image-env
+        leg hung at 19M steps with no error), and periodic saves bound
+        what a restart loses."""
         cfg = self.cfg
         total = total_timesteps or cfg.total_timesteps
         ts = self.init_state() if state is None else state
@@ -563,4 +569,7 @@ class PPO:
             ts, metrics = self.train_step(ts)
             if log_fn is not None:
                 log_fn(u, jax.device_get(metrics))
+            if (checkpoint_fn is not None and checkpoint_every > 0
+                    and u and u % checkpoint_every == 0):
+                checkpoint_fn(u, ts)
         return ts
