@@ -103,7 +103,7 @@ def test_v3_constructor_surface():
     from gym_puzzles_tpu.api import registry
 
     assert registry._logic("MultiRobotPuzzle-v3", False, "t", 3, True,
-                           None, None, None, None) is env.logic
+                           None, None, None, None, None) is env.logic
 
     # v0/v2 reject the v3-only surface, like the reference's no-arg ctors
     with pytest.raises(ValueError):
