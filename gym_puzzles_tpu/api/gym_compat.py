@@ -33,6 +33,7 @@ class GymPuzzleEnv:
         self._step = jax.jit(self._logic.step)
         self._key = jax.random.key(0 if seed is None else seed)
         self._state = None
+        self._viewer = None
         self.observation_space = _space(self.spec_cfg.obs_dim)
         self.action_space = _space(self.spec_cfg.act_dim, low=-1.0, high=1.0)
 
@@ -63,10 +64,20 @@ class GymPuzzleEnv:
         frame = render_state(self._logic, self._state, mode=style)
         if mode in ("rgb_array", "state_pixels", "agent"):
             return frame
-        return frame  # headless: callers display it themselves
+        # mode='human': live display (the reference's pyglet viewer,
+        # 00.py:528-534) -- interactive matplotlib window when a display
+        # exists, ANSI terminal frames otherwise (render/window.py)
+        if self._viewer is None:
+            from gym_puzzles_tpu.render.window import LiveViewer
+
+            self._viewer = LiveViewer()
+        self._viewer.show(np.asarray(frame))
+        return frame
 
     def close(self):
-        pass
+        if self._viewer is not None:
+            self._viewer.close()
+            self._viewer = None
 
     # -- reference reward-tuning hooks (00.py:231-246) ----------------------
     def set_reward_params(self, agentDelta=None, agentDistance=None, blockDelta=None,
